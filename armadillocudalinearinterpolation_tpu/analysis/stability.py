@@ -1,0 +1,99 @@
+"""Linear-stability analysis of fixed points.
+
+Reference: ``Stability`` (``/root/reference/Stability.cpp:22-111``): compute
+the eigenvalues of the (finite-difference or analytic) Jacobian and count
+unstable ones under three criteria:
+
+  * ``flow``          — Re(lambda) > 0
+  * ``map``           — |lambda| > 1
+  * ``equation_free`` — add the identity first (the equation-free map is
+    ``M(U) = U + F(U)``, so its linearisation is ``I + J``;
+    ``Stability.cpp:66-71``), then the map test.
+
+General (non-symmetric) eigendecomposition is not implemented on the TPU
+backend, so the tiny ``n_spikes x n_spikes`` eigenproblem is evaluated on the
+host via ``pure_callback`` — the same division of labour as the reference,
+which runs Armadillo's ``eig_gen`` on the CPU next to a GPU map.
+
+The reference reads its FD epsilon uninitialised (``Stability.cpp:90``, never
+set in either constructor — catalogued in SURVEY.md §7); here epsilon is an
+explicit argument.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solvers.newton import fd_jacobian
+
+
+class ProblemType(enum.Enum):
+    """Stability criterion selector (``/root/reference/Stability.hpp:13-18``)."""
+
+    FLOW = "flow"
+    MAP = "map"
+    EQUATION_FREE = "equation_free"
+
+
+def _host_eigvals(jac: np.ndarray) -> np.ndarray:
+    return np.linalg.eigvals(np.asarray(jac, np.float64)).astype(np.complex128)
+
+
+def eigvals(jacobian: jax.Array) -> jax.Array:
+    """Eigenvalues of a (small, dense, general) Jacobian via host callback."""
+    n = jacobian.shape[0]
+    return jax.pure_callback(
+        _host_eigvals,
+        jax.ShapeDtypeStruct((n,), jnp.complex128),
+        jacobian,
+        vmap_method="sequential",
+    )
+
+
+def compute_eigenvalues(
+    F: Callable[[jax.Array], jax.Array],
+    u: jax.Array,
+    problem_type: ProblemType = ProblemType.EQUATION_FREE,
+    *,
+    epsilon: float = 1e-2,
+    jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    jacobian: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Eigenspectrum of the linearisation at ``u`` (``Stability.cpp:52-74``).
+
+    Precedence mirrors the reference: an explicitly supplied ``jacobian``
+    (the solver's export), else ``jacobian_fn`` (analytic), else finite
+    differences at ``epsilon``.
+    """
+    if jacobian is None:
+        if jacobian_fn is not None:
+            jacobian = jacobian_fn(u)
+        else:
+            jacobian = fd_jacobian(F, u, F(u), epsilon)
+    if problem_type is ProblemType.EQUATION_FREE:
+        jacobian = jacobian + jnp.eye(jacobian.shape[0], dtype=jacobian.dtype)
+    return eigvals(jacobian)
+
+
+def count_unstable(eigenvalues: jax.Array,
+                   problem_type: ProblemType) -> jax.Array:
+    """Unstable-eigenvalue count under the given criterion (``Stability.cpp:27-34``)."""
+    if problem_type is ProblemType.FLOW:
+        return jnp.sum(jnp.real(eigenvalues) > 0.0)
+    return jnp.sum(jnp.abs(eigenvalues) > 1.0)
+
+
+def num_unstable_eigenvalues(
+    F: Callable[[jax.Array], jax.Array],
+    u: jax.Array,
+    problem_type: ProblemType = ProblemType.EQUATION_FREE,
+    **kwargs,
+) -> jax.Array:
+    """Count unstable eigenvalues at ``u`` (``Stability.cpp:22-35``)."""
+    ev = compute_eigenvalues(F, u, problem_type, **kwargs)
+    return count_unstable(ev, problem_type)

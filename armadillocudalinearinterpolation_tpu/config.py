@@ -1,0 +1,110 @@
+"""Configuration pytrees for the TPU event-driven-map framework.
+
+The reference splits configuration across compile-time macros
+(``/root/reference/parameters.hpp:1-15``) and a runtime solver struct
+(``/root/reference/NewtonSolver.hpp:17-34``).  Here both tiers collapse into
+frozen dataclasses: ``ModelConfig`` is *static* (hashable, closed over by
+``jax.jit`` so shapes and unrolled loops specialise on it) while runtime
+continuation parameters (``beta``, ``sigma``) travel as a small dynamic
+pytree (:class:`MapParams`) so a parameter sweep never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model + discretisation constants.
+
+    Mirrors ``/root/reference/parameters.hpp:1-15`` plus the runtime sizes the
+    reference keeps on ``EventDrivenMap`` (``EventDrivenMap.cu:69-74``).
+
+    Attributes:
+      n_neurons: neurons per realisation (reference ``mNoThreads``, 1024
+        default / 512 in the driver run).
+      n_real: Monte-Carlo realisations (reference ``noReal``, 1000).
+      n_spikes: spike trajectories tracked (reference ``noSpikes`` = 3).
+      vth / vr: firing threshold and reset voltage.
+      a1, a2, b1, b2: Mexican-hat coupling amplitudes / decay rates.
+      drive: constant external drive (reference ``I``).
+      half_width: ring half-domain (reference ``L``); x ∈ [-L, L).
+      t_horizon: restriction time horizon ``T``.
+      root_tol: event-time Newton tolerance (reference ``tol`` = 1e-6).
+      counter_max: event-time Newton iteration cap.  The reference uses an
+        undefined ``counterMax`` macro (``EventDrivenMap.cu:564`` — the
+        shipped tree does not compile); we pin it to 50.
+      max_events: hard bound on event-loop trip count used only by the
+        fori-variant of evolve; the while-variant bounds by ``2*t_horizon``
+        exactly like ``EventDrivenMap.cu:601``.
+      dtype: compute dtype ('float32' TPU fast path, 'float64' CPU oracle).
+    """
+
+    n_neurons: int = 1024
+    n_real: int = 1000
+    n_spikes: int = 3
+    vth: float = 1.0
+    vr: float = 0.0
+    a1: float = 11.0
+    a2: float = 7.0
+    b1: float = 5.0
+    b2: float = 3.5
+    drive: float = 0.9
+    half_width: float = 3.0
+    t_horizon: float = 5.0
+    root_tol: float = 1e-6
+    counter_max: int = 50
+    max_events: int = 4096
+    dtype: str = "float32"
+
+    @property
+    def dx(self) -> float:
+        return 2.0 * self.half_width / self.n_neurons
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def grid(self) -> jax.Array:
+        """Ring coordinates x_i = -L + i*dx, ascending (EventDrivenMap.cu:117)."""
+        return (-self.half_width
+                + self.dx * jnp.arange(self.n_neurons, dtype=self.jdtype))
+
+    def with_(self, **kw: Any) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MapParams:
+    """Dynamic (traced) continuation parameters.
+
+    ``beta`` is the mean synaptic rate — the continuation parameter the
+    reference sweeps (``Driver.cu:16,107``); ``sigma`` is the heterogeneity
+    std-dev (``EventDrivenMap::SetParameterStdDev``, ``EventDrivenMap.cu:317``).
+    """
+
+    beta: jax.Array
+    sigma: jax.Array
+
+    @staticmethod
+    def create(beta: float, sigma: float = 0.0, dtype="float32") -> "MapParams":
+        return MapParams(beta=jnp.asarray(beta, dtype=dtype),
+                         sigma=jnp.asarray(sigma, dtype=dtype))
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonConfig:
+    """Newton solver parameters (reference ``NewtonSolver::ParameterList``,
+    ``NewtonSolver.hpp:17-34``, defaults from ``Driver.cu:28-37``)."""
+
+    tolerance: float = 1e-4
+    max_iterations: int = 10
+    fd_epsilon: float = 1e-2
+    damping: float = 1.0
+    print_output: bool = False

@@ -1,0 +1,112 @@
+"""The event-driven map: one jitted pure function ``F(Z)``.
+
+Reference: ``EventDrivenMap::ComputeF`` (``/root/reference/EventDrivenMap.cu:154-240``)
+— the full lift → evolve → restrict → reduce pipeline plus gauge fixing and
+residual assembly.  The reference crosses the host↔device boundary five times
+per evaluation (index upload, parameter upload, RNG fill, result download,
+residual assembly on host); here the entire map is one traced function with
+zero host round-trips, so ``vmap`` batches whole map evaluations (the
+finite-difference Jacobian's ``n_spikes + 1`` evaluations become ONE device
+launch) and ``shard_map`` spreads the realisation ensemble over a mesh.
+
+Common random numbers: the reference reseeds cuRAND to a fixed seed before
+*every* evaluation (``EventDrivenMap.cu:178``) so that the stochastic map is
+deterministic within a Newton solve.  Here the caller passes an explicit
+``jax.random`` key; using the same key across evaluations *is* the
+common-random-numbers protocol, and "reseeding" after a converged solve
+(``PostProcess → SetNewSeed``, ``:343-346``) is just ``jax.random.split``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, MapParams
+from .coupling import coupling_kernel
+from .lift import lift, initial_spike_indices
+from .evolve import evolve_ensemble, EvolveResult
+from .restrict import restrict_positions, masked_ensemble_mean
+
+
+class MapDiagnostics(NamedTuple):
+    """Optional per-stage intermediates (the reference's debug-dump stages,
+    ``EventDrivenMap.cu:406-503``, as arrays instead of ``test*.dat`` files)."""
+
+    v0: jax.Array
+    s0: jax.Array
+    init_ind: jax.Array
+    evolve: EvolveResult
+    positions: jax.Array
+    accept_count: jax.Array
+    u_mean: jax.Array
+
+
+def z_to_u(Z: jax.Array) -> jax.Array:
+    """Gauge fixing ``Z -> U = (c, 0, Z1, ..)``: spike 1 pinned at offset 0
+    (translation symmetry of the ring; ``EventDrivenMap.cu:388-396``)."""
+    return jnp.concatenate([Z[:1], jnp.zeros((1,), Z.dtype), Z[1:]])
+
+
+def u_to_z(U: jax.Array) -> jax.Array:
+    """Inverse gauge map (``EventDrivenMap.cu:398-404``)."""
+    return jnp.concatenate([U[:1], U[2:]])
+
+
+def sample_beta(cfg: ModelConfig, params: MapParams, key: jax.Array
+                ) -> jax.Array:
+    """Heterogeneous synaptic rates ``beta ~ N(mean, sigma)`` per neuron per
+    realisation (``curandGenerateNormal`` at ``EventDrivenMap.cu:179``)."""
+    dt_ = cfg.jdtype
+    noise = jax.random.normal(key, (cfg.n_real, cfg.n_neurons), dtype=dt_)
+    return params.beta.astype(dt_) + params.sigma.astype(dt_) * noise
+
+
+def event_driven_map(cfg: ModelConfig, params: MapParams, key: jax.Array,
+                     Z: jax.Array, *, with_diagnostics: bool = False):
+    """Evaluate the equation-free map residual ``f = F(Z)``.
+
+    Args:
+      cfg: static model config (closed over by ``jit``).
+      params: dynamic continuation parameters ``(beta, sigma)``.
+      key: PRNG key; reuse the same key across evaluations for common random
+        numbers within a solve.
+      Z: ``(n_spikes,)`` reduced state ``(c, z_1, ..)``.
+      with_diagnostics: also return per-stage intermediates.
+
+    Returns:
+      ``f`` of shape ``(n_spikes,)`` — and ``MapDiagnostics`` if requested.
+      Residual assembly (``EventDrivenMap.cu:239``):
+      ``f = -c * U[1:] - U_T + c * T``.
+    """
+    dt_ = cfg.jdtype
+    Z = Z.astype(dt_)
+    U = z_to_u(Z)
+    c = U[0]
+
+    init_ind = initial_spike_indices(cfg, Z)
+    v0, s0 = lift(cfg, params, U)
+    beta = sample_beta(cfg, params, key)
+    res = evolve_ensemble(cfg, coupling_kernel(cfg), v0, s0, beta, init_ind)
+    positions = restrict_positions(cfg, res)
+    u_mean, count = masked_ensemble_mean(positions, res.accept)
+
+    f = -c * U[1:] - u_mean + c * jnp.asarray(cfg.t_horizon, dt_)
+    if with_diagnostics:
+        return f, MapDiagnostics(v0=v0, s0=s0, init_ind=init_ind, evolve=res,
+                                 positions=positions, accept_count=count,
+                                 u_mean=u_mean)
+    return f
+
+
+def make_residual_fn(cfg: ModelConfig, params: MapParams, key: jax.Array,
+                     ) -> Callable[[jax.Array], jax.Array]:
+    """Close the map over ``(cfg, params, key)`` into a residual oracle
+    ``F: Z -> f`` — the functional replacement for the reference's
+    ``AbstractNonlinearProblem`` interface
+    (``/root/reference/AbstractNonlinearProblem.hpp:11``)."""
+    def F(Z: jax.Array) -> jax.Array:
+        return event_driven_map(cfg, params, key, Z)
+    return F

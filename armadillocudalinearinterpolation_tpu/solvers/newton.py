@@ -1,0 +1,157 @@
+"""Damped Newton fixed-point solver, fully on-device.
+
+Reference: ``NewtonSolver`` (``/root/reference/NewtonSolver.cpp:40-245``).
+Structural differences (the TPU-native wins, per SURVEY.md §7):
+
+  * The whole solve is one ``lax.while_loop`` under ``jit`` — no host↔device
+    traffic between iterations (the reference round-trips per residual).
+  * The finite-difference Jacobian's ``n`` perturbed residual evaluations are
+    batched with ``vmap`` into a single device launch, versus the reference's
+    serial column loop (``NewtonSolver.cpp:181-195``).  For the event-driven
+    map this multiplies the ensemble batch by ``n_spikes + 1`` — exactly the
+    kind of width the TPU wants.
+  * An analytic-Jacobian hook replaces ``AbstractNonlinearProblemJacobian``
+    (``/root/reference/AbstractNonlinearProblemJacobian.hpp:11``).
+  * The final Jacobian is always returned (the reference's optional
+    ``pJacobianExternal`` export, ``NewtonSolver.cpp:153-159``) so stability
+    analysis can reuse it without re-evaluating the map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NewtonConfig
+from .criterion import Criterion, residual_norm_criterion
+
+
+class NewtonResult(NamedTuple):
+    """Outcome of :func:`newton_solve` (exit flag + history, cf.
+    ``AbstractNonlinearSolver::ExitFlagType``,
+    ``/root/reference/AbstractNonlinearSolver.hpp:16-19``)."""
+
+    solution: jax.Array          # (n,) final iterate
+    converged: jax.Array         # () bool exit flag
+    iterations: jax.Array        # () int32 — iterations performed
+    residual_norm: jax.Array     # () final ||r||
+    residual_history: jax.Array  # (max_iterations + 1,), NaN-padded
+    jacobian: jax.Array          # (n, n) last Jacobian (identity if 0 iters)
+    residual: jax.Array          # (n,) final residual
+
+
+def fd_jacobian(F: Callable[[jax.Array], jax.Array], x: jax.Array,
+                f: jax.Array, epsilon: float) -> jax.Array:
+    """Forward-difference Jacobian with all columns batched in one launch.
+
+    ``jac[:, i] = (F(x + eps * e_i) - f) / eps`` (``NewtonSolver.cpp:164-197``),
+    evaluated as ``vmap(F)`` over the ``n`` perturbed points.
+    """
+    n = x.shape[0]
+    eps = jnp.asarray(epsilon, x.dtype)
+    perturbed = x[None, :] + eps * jnp.eye(n, dtype=x.dtype)
+    df = jax.vmap(F)(perturbed)                     # (n, n): row i = F(x + eps e_i)
+    return (df - f[None, :]).T / eps
+
+
+def _print_header(max_iterations, tolerance):
+    # AbstractNonlinearSolver::PrintHeader (AbstractNonlinearSolver.cpp:11-25)
+    bar = "-" * 48
+    print(bar)
+    print(" Attempt to solve nonlinear problem with Newton Method")
+    print(f" max number of iterations = {max_iterations}")
+    print(f" tolerance = {tolerance}")
+    print(bar)
+    print(f"{'Iteration':>10}{'error estimate':>25}")
+
+
+def _print_iteration(iteration, norm):
+    # AbstractNonlinearSolver::PrintIteration (AbstractNonlinearSolver.cpp:75-95)
+    print(f"{int(iteration):>10}{float(norm):>25.6e}")
+
+
+def _print_footer(iterations, converged):
+    # AbstractNonlinearSolver::PrintFooter (AbstractNonlinearSolver.cpp:28-72)
+    print("-" * 48)
+    verb = "converged" if bool(converged) else "failed to converge"
+    print(f"The method {verb} after {int(iterations)} iterations")
+
+
+def newton_solve(
+    F: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    cfg: NewtonConfig,
+    *,
+    jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    criterion: Optional[Criterion] = None,
+) -> NewtonResult:
+    """Solve ``F(x) = 0`` by damped Newton iteration (``NewtonSolver.cpp:40-161``).
+
+    Args:
+      F: residual oracle ``(n,) -> (n,)`` (must be JAX-traceable).
+      x0: initial guess.
+      cfg: solver parameters (tolerance / max_iterations / fd_epsilon /
+        damping / print_output — the reference ``ParameterList``).
+      jacobian_fn: optional analytic Jacobian ``x -> (n, n)``; finite
+        differences otherwise.
+      criterion: convergence test on the residual norm; defaults to the
+        absolute norm test at ``cfg.tolerance``.
+
+    The solve is traceable: wrap in ``jax.jit`` for one fused device program.
+    """
+    test = criterion if criterion is not None else residual_norm_criterion(
+        cfg.tolerance)
+    n = x0.shape[0]
+    dt_ = x0.dtype
+
+    f0 = F(x0)
+    norm0 = jnp.linalg.norm(f0)
+    history0 = jnp.full((cfg.max_iterations + 1,), jnp.nan, dt_).at[0].set(norm0)
+
+    if cfg.print_output:
+        jax.debug.callback(_print_header, cfg.max_iterations, cfg.tolerance)
+        jax.debug.callback(_print_iteration, jnp.int32(0), norm0)
+
+    class Carry(NamedTuple):
+        x: jax.Array
+        f: jax.Array
+        norm: jax.Array
+        it: jax.Array
+        converged: jax.Array
+        history: jax.Array
+        jacobian: jax.Array
+
+    init = Carry(x=x0, f=f0, norm=norm0, it=jnp.int32(0),
+                 converged=test(norm0), history=history0,
+                 jacobian=jnp.eye(n, dtype=dt_))
+
+    def cond(c: Carry):
+        return jnp.logical_and(c.it < cfg.max_iterations, ~c.converged)
+
+    def body(c: Carry) -> Carry:
+        if jacobian_fn is not None:
+            jac = jacobian_fn(c.x)
+        else:
+            jac = fd_jacobian(F, c.x, c.f, cfg.fd_epsilon)
+        direction = jnp.linalg.solve(jac, -c.f)
+        x = c.x + jnp.asarray(cfg.damping, dt_) * direction
+        f = F(x)
+        norm = jnp.linalg.norm(f)
+        it = c.it + 1
+        if cfg.print_output:
+            jax.debug.callback(_print_iteration, it, norm)
+        return Carry(x=x, f=f, norm=norm, it=it, converged=test(norm),
+                     history=c.history.at[it].set(norm), jacobian=jac)
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    if cfg.print_output:
+        jax.debug.callback(_print_footer, out.it, out.converged)
+
+    return NewtonResult(solution=out.x, converged=out.converged,
+                        iterations=out.it, residual_norm=out.norm,
+                        residual_history=out.history, jacobian=out.jacobian,
+                        residual=out.f)
