@@ -1,0 +1,96 @@
+"""Newton solver tests: analytic problems with known roots, FD-vs-analytic
+Jacobians, damping, exit flags, history — then the full-map regression."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armadillocudalinearinterpolation_tpu import (
+    NewtonConfig, newton_solve, make_residual_fn)
+from armadillocudalinearinterpolation_tpu.solvers.newton import fd_jacobian
+from armadillocudalinearinterpolation_tpu.solvers.criterion import (
+    residual_norm_criterion, relative_criterion)
+
+
+def quad(x):
+    """F(x) = x^2 - a with roots sqrt(a)."""
+    return x * x - jnp.array([4.0, 9.0])
+
+
+def test_newton_solves_quadratic():
+    cfg = NewtonConfig(tolerance=1e-12, max_iterations=30, fd_epsilon=1e-7)
+    res = newton_solve(quad, jnp.array([1.0, 1.0]), cfg)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.solution), [2.0, 3.0], rtol=1e-10)
+    # residual history is NaN-padded past the exit and ends below tolerance
+    h = np.asarray(res.residual_history)
+    it = int(res.iterations)
+    assert np.isnan(h[it + 1:]).all()
+    assert h[it] <= 1e-12
+    assert h[0] > h[it]
+
+
+def test_newton_analytic_jacobian_hook():
+    cfg = NewtonConfig(tolerance=1e-12, max_iterations=30)
+    jac = lambda x: jnp.diag(2.0 * x)
+    res = newton_solve(quad, jnp.array([1.0, 1.0]), cfg, jacobian_fn=jac)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.solution), [2.0, 3.0], rtol=1e-10)
+    # exported jacobian == the analytic one at the penultimate iterate
+    assert res.jacobian.shape == (2, 2)
+
+
+def test_fd_jacobian_matches_analytic():
+    x = jnp.array([1.5, -2.0, 0.5])
+    F = lambda u: jnp.array([u[0] * u[1], jnp.sin(u[2]), u[0] + u[2] ** 2])
+    J_fd = fd_jacobian(F, x, F(x), 1e-7)
+    J_an = jax.jacfwd(F)(x)
+    np.testing.assert_allclose(np.asarray(J_fd), np.asarray(J_an), atol=1e-5)
+
+
+def test_newton_nonconvergence_exit_flag():
+    """No real root: exit flag notConverged after max_iterations
+    (NewtonSolver.cpp:137-144)."""
+    F = lambda x: x * x + jnp.ones(1)
+    cfg = NewtonConfig(tolerance=1e-12, max_iterations=5)
+    res = newton_solve(F, jnp.array([1.0]), cfg)
+    assert not bool(res.converged)
+    assert int(res.iterations) == 5
+
+
+def test_newton_damping_slows_but_converges():
+    cfg = NewtonConfig(tolerance=1e-10, max_iterations=60, damping=0.5)
+    res = newton_solve(quad, jnp.array([1.0, 1.0]), cfg)
+    assert bool(res.converged)
+    assert int(res.iterations) > 5  # damped => more iterations than full step
+
+
+def test_relative_criterion():
+    crit = relative_criterion(1e-3, jnp.asarray(10.0))
+    assert bool(crit(jnp.asarray(0.009)))
+    assert not bool(crit(jnp.asarray(0.011)))
+
+
+def test_newton_zero_iterations_when_converged_at_start():
+    F = lambda x: jnp.zeros_like(x)
+    cfg = NewtonConfig(tolerance=1e-8, max_iterations=10)
+    res = newton_solve(F, jnp.array([1.0, 2.0]), cfg)
+    assert bool(res.converged)
+    assert int(res.iterations) == 0
+
+
+@pytest.mark.slow
+def test_newton_converges_on_event_driven_map(cfg, params, key, z_ref):
+    """The headline regression: Newton-solve the map at beta=13.0589 from the
+    reference's initial guess (Driver.cu:24-31) on the fp64 oracle path."""
+    F = make_residual_fn(cfg, params, key)
+    ncfg = NewtonConfig(tolerance=1e-10, max_iterations=15, fd_epsilon=1e-7)
+    res = jax.jit(lambda z: newton_solve(F, z, ncfg))(z_ref)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 8
+    sol = np.asarray(res.solution)
+    # fixed point lies near the reference guess (N=512 discretisation)
+    np.testing.assert_allclose(sol, [0.331, 0.6914, 1.3557], atol=0.05)
+    # quadratic convergence: final residual far below tolerance
+    assert float(res.residual_norm) < 1e-11
