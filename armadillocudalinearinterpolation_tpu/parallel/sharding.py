@@ -1,0 +1,103 @@
+"""Ensemble sharding: spread Monte-Carlo realisations over a device mesh.
+
+The reference is single-process single-GPU; its only cross-realisation
+communication is the final accept-masked average (SURVEY.md §2, "Distributed
+communication backend: none").  The TPU-native scaling story is therefore
+simple and clean: the realisation axis of every ``(n_real, ...)`` array is
+sharded over a mesh axis, the event loop partitions embarrassingly (it is
+``vmap`` over realisations), and the only collective XLA inserts is the
+``psum`` behind the masked mean — which rides ICI.
+
+We deliberately use the GSPMD path (``with_sharding_constraint`` under
+``jit``) rather than hand-written ``shard_map`` collectives: the sharded and
+unsharded programs are the *same traced function*, so correctness transfers
+bitwise (tested), and XLA owns the collective schedule.
+
+A second mesh axis (``batch``) shards the Newton solver's finite-difference
+Jacobian evaluations — the ``n_spikes + 1`` whole-map evaluations that a
+solve step batches via ``vmap`` (``NewtonSolver.cpp:181-195`` serialises
+these on the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, MapParams, NewtonConfig
+from ..model import emap as _emap
+from ..model.coupling import coupling_kernel
+from ..model.lift import lift, initial_spike_indices
+from ..model.evolve import evolve_ensemble
+from ..model.restrict import restrict_positions, masked_ensemble_mean
+from ..solvers.newton import newton_solve, NewtonResult
+
+
+def make_mesh(axis_sizes: dict[str, int],
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a named device mesh, e.g. ``make_mesh({"real": 8})`` or
+    ``make_mesh({"batch": 2, "real": 4})``."""
+    devices = list(devices) if devices is not None else jax.devices()
+    shape = tuple(axis_sizes.values())
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, tuple(axis_sizes.keys()))
+
+
+def ensemble_constraint(mesh: Mesh, axis: str = "real"
+                        ) -> Callable[[jax.Array], jax.Array]:
+    """Sharding-constraint closure for ``(..., n_real, n_neurons)`` arrays:
+    realisations over ``axis``, neurons replicated (the event loop needs the
+    whole ring per realisation for the argmin and the coupling kick)."""
+    def constrain(x: jax.Array) -> jax.Array:
+        spec = P(*([None] * (x.ndim - 2)), axis, None)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    return constrain
+
+
+def event_driven_map_sharded(cfg: ModelConfig, params: MapParams,
+                             key: jax.Array, Z: jax.Array, mesh: Mesh,
+                             axis: str = "real") -> jax.Array:
+    """:func:`..model.emap.event_driven_map` with the realisation ensemble
+    sharded over ``mesh[axis]``.  Identical numerics to the unsharded map
+    (same traced program, GSPMD-partitioned)."""
+    constrain = ensemble_constraint(mesh, axis)
+    dt_ = cfg.jdtype
+    Z = Z.astype(dt_)
+    U = _emap.z_to_u(Z)
+    init_ind = initial_spike_indices(cfg, Z)
+    v0, s0 = lift(cfg, params, U)
+    beta = constrain(_emap.sample_beta(cfg, params, key))
+    res = evolve_ensemble(cfg, coupling_kernel(cfg), v0, s0, beta, init_ind)
+    positions = restrict_positions(cfg, res)
+    u_mean, _ = masked_ensemble_mean(positions, res.accept)
+    return -U[0] * U[1:] - u_mean + U[0] * jnp.asarray(cfg.t_horizon, dt_)
+
+
+def make_sharded_residual_fn(cfg: ModelConfig, params: MapParams,
+                             key: jax.Array, mesh: Mesh, axis: str = "real"
+                             ) -> Callable[[jax.Array], jax.Array]:
+    """Residual oracle ``F: Z -> f`` with the ensemble sharded over the mesh."""
+    def F(Z: jax.Array) -> jax.Array:
+        return event_driven_map_sharded(cfg, params, key, Z, mesh, axis)
+    return F
+
+
+def sharded_newton_solve(cfg: ModelConfig, params: MapParams, key: jax.Array,
+                         Z0: jax.Array, newton_cfg: NewtonConfig, mesh: Mesh,
+                         *, real_axis: str = "real") -> NewtonResult:
+    """Full Newton solve with the realisation ensemble sharded over the mesh.
+
+    The FD Jacobian's ``vmap`` over perturbed points composes with the GSPMD
+    constraint (the batch dim prepends to the sharding spec), so each solver
+    iteration is still one device program with all ``n_spikes + 1`` map
+    evaluations in flight.  Wrap in ``jax.jit`` for the one-launch solve.
+    """
+    F = make_sharded_residual_fn(cfg, params, key, mesh, real_axis)
+    return newton_solve(F, Z0, newton_cfg)
