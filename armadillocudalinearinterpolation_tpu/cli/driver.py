@@ -1,0 +1,161 @@
+"""Continuation driver — the reference application as a real CLI.
+
+Reference: ``Driver.cu:11-126``: set up the problem at ``beta = 13.0589``,
+smoke-test ``ComputeF``, Newton-solve from the known initial guess, then (the
+commented-out production loop, ``Driver.cu:86-114``) sweep ``beta`` in steps
+of 0.1 for 100 steps, checking stability at every converged point.  The
+reference parses no arguments (``argc/argv`` ignored); here every knob is a
+flag, the sweep checkpoints each step, and the RNG reseeding protocol
+(``PostProcess -> SetNewSeed``, ``EventDrivenMap.cu:343-346``) is an explicit
+``jax.random.split`` per step.
+
+Run:  python -m armadillocudalinearinterpolation_tpu.cli.driver --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="edmap-continue",
+        description="Equation-free event-driven-map Newton continuation")
+    # model (reference parameters.hpp + EventDrivenMap sizes)
+    p.add_argument("--neurons", type=int, default=512,
+                   help="neurons per realisation (reference: 1024/512)")
+    p.add_argument("--realisations", type=int, default=64,
+                   help="Monte-Carlo realisations (reference: 1000)")
+    p.add_argument("--spikes", type=int, default=3)
+    p.add_argument("--beta", type=float, default=13.0589,
+                   help="initial mean synaptic rate (Driver.cu:16)")
+    p.add_argument("--sigma", type=float, default=0.0,
+                   help="heterogeneity std-dev (SetParameterStdDev)")
+    p.add_argument("--horizon", type=float, default=5.0)
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (fp64 oracle path)")
+    # initial guess (Driver.cu:24)
+    p.add_argument("--guess", type=float, nargs="+",
+                   default=[0.3310, 0.6914, 1.3557])
+    # newton (Driver.cu:28-37)
+    p.add_argument("--tol", type=float, default=1e-4)
+    p.add_argument("--max-iter", type=int, default=10)
+    p.add_argument("--fd-eps", type=float, default=1e-2)
+    p.add_argument("--damping", type=float, default=1.0)
+    p.add_argument("--quiet", action="store_true")
+    # continuation (Driver.cu:86-114)
+    p.add_argument("--steps", type=int, default=1,
+                   help="continuation steps (reference loop: 100)")
+    p.add_argument("--beta-step", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="directory for per-step checkpoint (resumable)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a sweep from --checkpoint")
+    p.add_argument("--debug-dump", type=str, default=None,
+                   help="dump every map stage to this directory (.npy)")
+    p.add_argument("--stability", action="store_true",
+                   help="eigenvalue analysis at each converged point")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from .. import (ModelConfig, MapParams, NewtonConfig, newton_solve,
+                    make_residual_fn, event_driven_map, ProblemType,
+                    compute_eigenvalues)
+    from ..analysis.stability import count_unstable
+    from ..utils.checkpoint import ContinuationCheckpoint, ContinuationStep
+    from ..utils.debug import dump_map_stages
+
+    cfg = ModelConfig(n_neurons=args.neurons, n_real=args.realisations,
+                      n_spikes=args.spikes, t_horizon=args.horizon,
+                      dtype=args.dtype)
+    ncfg = NewtonConfig(tolerance=args.tol, max_iterations=args.max_iter,
+                        fd_epsilon=args.fd_eps, damping=args.damping,
+                        print_output=not args.quiet)
+    dt_ = cfg.jdtype
+    Z = jnp.asarray(args.guess, dt_)
+    if Z.shape != (args.spikes,):
+        print(f"error: --guess needs {args.spikes} values", file=sys.stderr)
+        return 2
+    beta = args.beta
+    key = jax.random.PRNGKey(args.seed)
+
+    ckpt = ContinuationCheckpoint(args.checkpoint) if args.checkpoint else None
+    start = 0
+    if args.resume:
+        if ckpt is None:
+            print("error: --resume requires --checkpoint", file=sys.stderr)
+            return 2
+        last = ckpt.last()
+        if last is not None:
+            start = last.index + 1
+            beta = last.beta + args.beta_step
+            Z = jnp.asarray(last.solution, dt_)
+            print(f"resuming at step {start} (beta={beta:.4f})")
+
+    # Smoke test, as in Driver.cu:58-59.
+    params = MapParams.create(beta, args.sigma, dtype=args.dtype)
+    t0 = time.time()
+    f0 = event_driven_map(cfg, params, key, Z)
+    print(f"ComputeF smoke test: |f| = {float(jnp.linalg.norm(f0)):.6e} "
+          f"({time.time() - t0:.2f}s incl. compile)")
+
+    if args.debug_dump:
+        dump_map_stages(cfg, params, key, Z, args.debug_dump)
+        print(f"stage dumps written to {args.debug_dump}/")
+
+    solve = jax.jit(lambda p, k, z: newton_solve(
+        make_residual_fn(cfg, p, k), z, ncfg))
+
+    for i in range(start, start + args.steps):
+        params = MapParams.create(beta, args.sigma, dtype=args.dtype)
+        res = solve(params, key, Z)
+        sol = np.asarray(res.solution)
+        ok = bool(res.converged)
+        print(f"step {i}: beta={beta:.4f} converged={ok} "
+              f"iters={int(res.iterations)} |r|={float(res.residual_norm):.3e} "
+              f"Z={np.array2string(sol, precision=5)}")
+
+        n_unstable = None
+        eigenvalues = None
+        if args.stability:
+            ev = compute_eigenvalues(
+                make_residual_fn(cfg, params, key), res.solution,
+                ProblemType.EQUATION_FREE, jacobian=res.jacobian)
+            eigenvalues = np.asarray(ev)
+            n_unstable = int(count_unstable(ev, ProblemType.EQUATION_FREE))
+            verdict = "unstable" if n_unstable else "stable"
+            print(f"  eigenvalues: {np.array2string(eigenvalues, precision=4)}"
+                  f" -> {verdict} ({n_unstable} unstable)")
+
+        if ckpt is not None:
+            ckpt.save(ContinuationStep(
+                index=i, beta=beta, solution=sol,
+                residual_norm=float(res.residual_norm), converged=ok,
+                n_unstable=n_unstable, eigenvalues=eigenvalues))
+
+        # Prepare the next step (Driver.cu:107-109) + reseed (PostProcess).
+        beta += args.beta_step
+        Z = res.solution
+        key, _ = jax.random.split(key)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,7 +63,6 @@ def evolve(cfg: ModelConfig, w: jax.Array, v0: jax.Array, s0: jax.Array,
     dt_ = v0.dtype
     M = cfg.n_spikes
     T = jnp.asarray(cfg.t_horizon, dt_)
-    neuron_ids = jnp.arange(cfg.n_neurons, dtype=jnp.int32)
 
     class Carry(NamedTuple):
         v: jax.Array
@@ -96,9 +95,14 @@ def evolve(cfg: ModelConfig, w: jax.Array, v0: jax.Array, s0: jax.Array,
         dt = times[j]
 
         # Analytic advance by dt; firing neuron resets (EventDrivenMap.cu:612-617).
+        # The neuron-id iota is generated INSIDE the loop body: closing over a
+        # module-level ``jnp.arange`` constant here makes XLA's TPU pipeline
+        # take minutes-to-hours to compile at n_neurons >= 4096 (bisected;
+        # in-body broadcasted_iota compiles in <1s with identical semantics).
         emt = jnp.exp(-dt)
         v = c.v * emt + cfg.drive * (1.0 - emt) \
             + c.s * emt / (1.0 - beta) * (jnp.exp((1.0 - beta) * dt) - 1.0)
+        neuron_ids = jax.lax.broadcasted_iota(jnp.int32, (cfg.n_neurons,), 0)
         v = v * (neuron_ids != j).astype(dt_)
         s = c.s * jnp.exp(-beta * dt) + beta * coupling_row(w, j)
 
@@ -110,7 +114,7 @@ def evolve(cfg: ModelConfig, w: jax.Array, v0: jax.Array, s0: jax.Array,
         after_T = t > T
         is_cross = fresh & after_T
         is_last = fresh & ~after_T
-        onehot = (jnp.arange(M, dtype=jnp.int32) == m)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (M,), 0) == m)
 
         crossed_time = jnp.where(onehot & is_cross, t, c.crossed_time)
         crossed_ind = jnp.where(onehot & is_cross, j, c.crossed_ind)

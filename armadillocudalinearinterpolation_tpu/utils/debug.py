@@ -1,0 +1,65 @@
+"""Per-stage debug dumps — the reference's ``test*.dat`` subsystem as .npy.
+
+Reference: ``SetDebugFlag`` gates D2H copies of every pipeline stage to text
+files (``/root/reference/EventDrivenMap.cu:406-503``); ``BuildCouplingKernel``
+always writes ``test.dat`` (``:122-127``).  Here dumps are opt-in (never
+unconditional), and the stage names mirror the reference's file names so a
+side-by-side comparison is mechanical.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import ModelConfig, MapParams
+from ..model.emap import MapDiagnostics, event_driven_map
+from ..model.coupling import coupling_kernel
+
+# stage -> reference dump file it mirrors
+STAGES = {
+    "coupling": "test.dat",
+    "init_spike_ind": "testInitLastSpikeInd.dat",
+    "lift_v": "testLift.dat (col 1)",
+    "lift_s": "testLift.dat (col 2)",
+    "last_spike_ind": "testLastSpikeInd.dat",
+    "last_spike_time": "testLastSpikeTime.dat",
+    "crossed_spike_ind": "testCrossedSpikeInd.dat",
+    "crossed_spike_time": "testCrossedSpikeTime.dat",
+    "accept": "testAcceptFlag.dat",
+    "averages": "testAverages.dat",
+    "averaged": "testAveraged.dat",
+}
+
+
+def dump_map_stages(cfg: ModelConfig, params: MapParams, key: jax.Array,
+                    Z: jax.Array, out_dir: str | os.PathLike) -> dict:
+    """Evaluate the map once and write every stage to ``out_dir/<stage>.npy``.
+
+    Returns the dict of host arrays for programmatic use.
+    """
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    f, d = event_driven_map(cfg, params, key, Z, with_diagnostics=True)
+    stages = {
+        "coupling": coupling_kernel(cfg),
+        "init_spike_ind": d.init_ind,
+        "lift_v": d.v0,
+        "lift_s": d.s0,
+        "last_spike_ind": d.evolve.last_ind,
+        "last_spike_time": d.evolve.last_time,
+        "crossed_spike_ind": d.evolve.crossed_ind,
+        "crossed_spike_time": d.evolve.crossed_time,
+        "accept": d.evolve.accept,
+        "averages": d.positions,
+        "averaged": d.u_mean,
+        "residual": f,
+    }
+    host = {k: np.asarray(v) for k, v in stages.items()}
+    for name, arr in host.items():
+        np.save(out / f"{name}.npy", arr)
+    return host
