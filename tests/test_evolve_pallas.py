@@ -1,0 +1,52 @@
+"""Pallas evolve kernel vs the XLA evolve path.
+
+The kernel is TPU-only (Mosaic while loops + in-vreg reductions); on the CPU
+test mesh we check the wiring (backend selection, input validation) and run
+the numerical comparison only when a real TPU is present (e.g. invoked
+without the conftest platform override).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armadillocudalinearinterpolation_tpu import (
+    ModelConfig, MapParams, event_driven_map)
+from armadillocudalinearinterpolation_tpu.model.evolve_pallas import (
+    evolve_ensemble_pallas)
+
+on_tpu = jax.default_backend() == "tpu"
+
+
+def test_auto_backend_selects_xla_on_cpu(cfg, params, key, z_ref):
+    """'auto' must not attempt the Mosaic kernel on the CPU mesh."""
+    f = event_driven_map(
+        ModelConfig(n_neurons=512, n_real=2, dtype="float32"),
+        MapParams.create(13.0589, 0.0, dtype="float32"),
+        key, z_ref.astype(jnp.float32), evolve_backend="auto")
+    assert np.isfinite(np.asarray(f)).all()
+
+
+def test_invalid_backend_rejected(cfg, params, key, z_ref):
+    with pytest.raises(ValueError, match="evolve_backend"):
+        event_driven_map(cfg, params, key, z_ref, evolve_backend="cuda")
+
+
+def test_pallas_requires_lane_aligned_neurons():
+    cfg = ModelConfig(n_neurons=500, n_real=2, dtype="float32")
+    with pytest.raises(ValueError, match="multiple of 128"):
+        evolve_ensemble_pallas(
+            cfg, jnp.zeros(500), jnp.zeros(500),
+            jnp.zeros((2, 500)), jnp.zeros(3, jnp.int32))
+
+
+@pytest.mark.skipif(not on_tpu, reason="Mosaic kernel needs a TPU")
+def test_pallas_matches_xla_on_tpu(z_ref):
+    cfg = ModelConfig(n_neurons=512, n_real=16, dtype="float32")
+    params = MapParams.create(13.0589, 0.1, dtype="float32")
+    key = jax.random.PRNGKey(0)
+    z = z_ref.astype(jnp.float32)
+    fp = event_driven_map(cfg, params, key, z, evolve_backend="pallas")
+    fx = event_driven_map(cfg, params, key, z, evolve_backend="xla")
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fx), atol=1e-5)
