@@ -4,6 +4,7 @@ from .sharding import (
     make_mesh,
     ensemble_constraint,
     make_sharded_residual_fn,
+    make_shard_map_residual_fn,
     sharded_newton_solve,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "make_mesh",
     "ensemble_constraint",
     "make_sharded_residual_fn",
+    "make_shard_map_residual_fn",
     "sharded_newton_solve",
 ]

@@ -101,3 +101,71 @@ def sharded_newton_solve(cfg: ModelConfig, params: MapParams, key: jax.Array,
     """
     F = make_sharded_residual_fn(cfg, params, key, mesh, real_axis)
     return newton_solve(F, Z0, newton_cfg)
+
+
+def make_shard_map_residual_fn(cfg: ModelConfig, params: MapParams,
+                               key: jax.Array, mesh: Mesh,
+                               axis: str = "real",
+                               evolve_backend: str = "auto",
+                               ) -> Callable[[jax.Array], jax.Array]:
+    """Residual oracle with explicit per-device map shards (``shard_map``).
+
+    The GSPMD path (:func:`make_sharded_residual_fn`) lets XLA partition the
+    traced program, which works for the XLA evolve backend but cannot split a
+    ``pallas_call``.  This variant runs the *whole local map* (optionally with
+    the Pallas evolve kernel) on each device's slice of the ensemble and
+    merges with one ``psum`` pair (position sums + accept counts) over ICI —
+    the only cross-device communication the problem has (SURVEY.md §2).
+
+    Each device draws its own heterogeneity slice from
+    ``fold_in(key, axis_index)``: deterministic for a fixed mesh, and still
+    common-random-numbers across evaluations within a solve.  (Draws differ
+    from the single-device layout; at ``sigma == 0`` results are identical.)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if cfg.n_real % n_dev:
+        raise ValueError(f"n_real={cfg.n_real} must divide over {n_dev} "
+                         f"devices on axis {axis!r}")
+    local_cfg = cfg.with_(n_real=cfg.n_real // n_dev)
+    dt_ = cfg.jdtype
+
+    def local_map(Z):
+        from ..model.lift import lift, initial_spike_indices
+        from ..model.restrict import restrict_positions
+
+        idx = jax.lax.axis_index(axis)
+        local_key = jax.random.fold_in(key, idx)
+        Z = Z.astype(dt_)
+        U = _emap.z_to_u(Z)
+        init_ind = initial_spike_indices(local_cfg, Z)
+        v0, s0 = lift(local_cfg, params, U)
+        beta = _emap.sample_beta(local_cfg, params, local_key)
+        use_pallas = evolve_backend == "pallas" or (
+            evolve_backend == "auto" and cfg.dtype == "float32"
+            and cfg.n_neurons % 128 == 0
+            and jax.default_backend() == "tpu")
+        if use_pallas:
+            from ..model.evolve_pallas import evolve_ensemble_pallas
+            res = evolve_ensemble_pallas(local_cfg, v0, s0, beta, init_ind)
+        else:
+            res = evolve_ensemble(local_cfg, coupling_kernel(local_cfg),
+                                  v0, s0, beta, init_ind)
+        positions = restrict_positions(local_cfg, res)
+        mask = res.accept.astype(dt_)[:, None]
+        local_sum = jnp.sum(positions * mask, axis=0)
+        local_count = jnp.sum(res.accept.astype(dt_))
+        total_sum = jax.lax.psum(local_sum, axis)
+        total_count = jax.lax.psum(local_count, axis)
+        u_mean = total_sum / total_count
+        return -U[0] * U[1:] - u_mean + U[0] * jnp.asarray(
+            cfg.t_horizon, dt_)
+
+    spec_rep = P()
+    smapped = jax.shard_map(local_map, mesh=mesh, in_specs=(spec_rep,),
+                            out_specs=spec_rep, check_vma=False)
+
+    def F(Z: jax.Array) -> jax.Array:
+        return smapped(Z)
+    return F

@@ -1,0 +1,82 @@
+"""CLI driver, debug-dump, and checkpoint subsystem tests (CPU oracle path)."""
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armadillocudalinearinterpolation_tpu.cli.driver import main, build_parser
+from armadillocudalinearinterpolation_tpu.utils.checkpoint import (
+    ContinuationCheckpoint, ContinuationStep)
+from armadillocudalinearinterpolation_tpu.utils.debug import (
+    dump_map_stages, STAGES)
+
+
+ARGS = ["--neurons", "512", "--realisations", "2", "--dtype", "float64",
+        "--tol", "1e-8", "--fd-eps", "1e-7", "--quiet"]
+
+
+def test_cli_single_solve(capsys):
+    rc = main(ARGS + ["--steps", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "converged=True" in out
+    assert "smoke test" in out
+
+
+def test_cli_continuation_with_stability_and_checkpoint(tmp_path, capsys):
+    ck = str(tmp_path / "sweep")
+    rc = main(ARGS + ["--steps", "2", "--beta-step", "0.1",
+                      "--stability", "--checkpoint", ck])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("converged=True") == 2
+    assert "eigenvalues" in out
+    # resume continues from step 2
+    rc = main(ARGS + ["--steps", "1", "--checkpoint", ck, "--resume"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "resuming at step 2" in out
+    steps = ContinuationCheckpoint(ck).load_all()
+    assert [s.index for s in steps] == [0, 1, 2]
+    assert steps[1].beta == pytest.approx(13.1589)
+    assert steps[0].n_unstable is not None
+
+
+def test_cli_bad_guess_arity(capsys):
+    rc = main(ARGS + ["--guess", "0.3", "0.7"])
+    assert rc == 2
+    assert "--guess needs 3 values" in capsys.readouterr().err
+
+
+def test_cli_resume_without_checkpoint(capsys):
+    rc = main(ARGS + ["--resume"])
+    assert rc == 2
+
+
+def test_debug_dump_stages(tmp_path, cfg, params, key, z_ref):
+    host = dump_map_stages(cfg, params, key, z_ref, tmp_path)
+    for stage in STAGES:
+        assert (tmp_path / f"{stage}.npy").exists(), stage
+    assert host["coupling"].shape == (cfg.n_neurons,)
+    assert host["averaged"].shape == (cfg.n_spikes,)
+    # residual in the dump equals a direct evaluation (same key)
+    from armadillocudalinearinterpolation_tpu import event_driven_map
+    f = np.asarray(event_driven_map(cfg, params, key, z_ref))
+    np.testing.assert_allclose(host["residual"], f, atol=1e-12)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ck = ContinuationCheckpoint(tmp_path / "c")
+    ck.save(ContinuationStep(index=0, beta=13.0, solution=np.arange(3.0),
+                             residual_norm=1e-9, converged=True,
+                             n_unstable=1,
+                             eigenvalues=np.array([1 + 1j, 2, 3])))
+    last = ck.last()
+    assert last.index == 0
+    np.testing.assert_array_equal(last.solution, np.arange(3.0))
+    np.testing.assert_array_equal(last.eigenvalues, np.array([1 + 1j, 2, 3]))
+    assert ContinuationCheckpoint(tmp_path / "empty").last() is None

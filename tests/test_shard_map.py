@@ -1,0 +1,55 @@
+"""Explicit shard_map ensemble path (the Pallas-compatible multi-chip route)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armadillocudalinearinterpolation_tpu import (
+    ModelConfig, MapParams, NewtonConfig, event_driven_map, newton_solve)
+from armadillocudalinearinterpolation_tpu.parallel import (
+    make_mesh, make_shard_map_residual_fn)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh({"real": 8})
+
+
+def test_shard_map_exact_at_sigma_zero(key, z_ref, mesh8):
+    """sigma=0: per-device draws are irrelevant -> matches unsharded to
+    reduction-order rounding."""
+    cfg = ModelConfig(n_neurons=512, n_real=16, dtype="float64")
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+    F = jax.jit(make_shard_map_residual_fn(cfg, params, key, mesh8))
+    f_s = np.asarray(F(z_ref))
+    f_u = np.asarray(event_driven_map(cfg, params, key, z_ref))
+    np.testing.assert_allclose(f_s, f_u, rtol=0, atol=1e-13)
+
+
+def test_shard_map_heterogeneous_deterministic(key, z_ref, mesh8):
+    cfg = ModelConfig(n_neurons=512, n_real=16, dtype="float64")
+    params = MapParams.create(13.0589, 0.2, dtype="float64")
+    F = jax.jit(make_shard_map_residual_fn(cfg, params, key, mesh8))
+    a, b = np.asarray(F(z_ref)), np.asarray(F(z_ref))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+
+
+def test_shard_map_rejects_indivisible_ensemble(key, mesh8):
+    cfg = ModelConfig(n_neurons=512, n_real=10, dtype="float64")
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+    with pytest.raises(ValueError, match="must divide"):
+        make_shard_map_residual_fn(cfg, params, key, mesh8)
+
+
+@pytest.mark.slow
+def test_shard_map_newton_converges(key, z_ref, mesh8):
+    cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64")
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+    F = make_shard_map_residual_fn(cfg, params, key, mesh8)
+    ncfg = NewtonConfig(tolerance=1e-9, max_iterations=12, fd_epsilon=1e-7)
+    res = jax.jit(lambda z: newton_solve(F, z, ncfg))(z_ref)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.solution),
+                               [0.331, 0.6914, 1.3557], atol=0.05)
