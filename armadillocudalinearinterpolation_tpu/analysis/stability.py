@@ -40,19 +40,39 @@ class ProblemType(enum.Enum):
     EQUATION_FREE = "equation_free"
 
 
-def _host_eigvals(jac: np.ndarray) -> np.ndarray:
-    return np.linalg.eigvals(np.asarray(jac, np.float64)).astype(np.complex128)
-
-
 def eigvals(jacobian: jax.Array) -> jax.Array:
-    """Eigenvalues of a (small, dense, general) Jacobian via host callback."""
+    """Eigenvalues of a (small, dense, general) Jacobian.
+
+    The eigendecomposition runs in fp64 on the host, exactly as the
+    reference runs Armadillo's ``eig_gen`` on the CPU beside a GPU map.  A
+    concrete (non-traced) Jacobian — the normal analysis path — is pulled to
+    the host directly, which also works on backends without host-callback
+    support (the axon TPU PJRT rejects ``pure_callback``).  Under tracing
+    (e.g. eigenvalues inside a jitted sweep on the CPU backend) a
+    ``pure_callback`` is emitted instead.  The complex dtype follows the x64
+    flag (declaring complex128 with x64 disabled is itself an error).
+    """
     n = jacobian.shape[0]
-    return jax.pure_callback(
-        _host_eigvals,
-        jax.ShapeDtypeStruct((n,), jnp.complex128),
-        jacobian,
-        vmap_method="sequential",
-    )
+    cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+    def _host(jac) -> np.ndarray:
+        j64 = np.asarray(jac, np.float64)
+        if not np.isfinite(j64).all():
+            # A failed solve (NaN residuals) should yield a NaN spectrum,
+            # not a LinAlgError deep inside a sweep.
+            return np.full((n,), np.nan + 1j * np.nan, np.dtype(cdtype))
+        return np.linalg.eigvals(j64).astype(np.dtype(cdtype))
+
+    if isinstance(jacobian, jax.core.Tracer):
+        return jax.pure_callback(
+            _host,
+            jax.ShapeDtypeStruct((n,), cdtype),
+            jacobian,
+            vmap_method="sequential",
+        )
+    # Concrete path: stay on the host.  (Device-putting a complex array onto
+    # a TPU backend without complex support would fail.)
+    return _host(jacobian)
 
 
 def compute_eigenvalues(
@@ -80,12 +100,17 @@ def compute_eigenvalues(
     return eigvals(jacobian)
 
 
-def count_unstable(eigenvalues: jax.Array,
-                   problem_type: ProblemType) -> jax.Array:
-    """Unstable-eigenvalue count under the given criterion (``Stability.cpp:27-34``)."""
+def count_unstable(eigenvalues,
+                   problem_type: ProblemType):
+    """Unstable-eigenvalue count under the given criterion (``Stability.cpp:27-34``).
+
+    Accepts host (numpy) or device arrays; host spectra are counted with
+    numpy so complex values never touch a backend without complex support.
+    """
+    xp = np if isinstance(eigenvalues, np.ndarray) else jnp
     if problem_type is ProblemType.FLOW:
-        return jnp.sum(jnp.real(eigenvalues) > 0.0)
-    return jnp.sum(jnp.abs(eigenvalues) > 1.0)
+        return xp.sum(xp.real(eigenvalues) > 0.0)
+    return xp.sum(xp.abs(eigenvalues) > 1.0)
 
 
 def num_unstable_eigenvalues(

@@ -130,6 +130,12 @@ def main(argv=None) -> int:
         print(f"step {i}: beta={beta:.4f} converged={ok} "
               f"iters={int(res.iterations)} |r|={float(res.residual_norm):.3e} "
               f"Z={np.array2string(sol, precision=5)}")
+        if not np.isfinite(sol).all():
+            # The branch has ended (no accepted realisations / diverged
+            # solve).  Stop cleanly; the checkpoint holds every prior step.
+            print(f"step {i}: solution is non-finite — stopping the sweep "
+                  f"(branch end or solver failure at beta={beta:.4f})")
+            return 1
 
         n_unstable = None
         eigenvalues = None

@@ -6,7 +6,8 @@ v5e chip against the XLA gather lowering (chained-iteration timing, see
 ``bench.py``):
 
   * ``lerp1d``:   ~14 Gq/s  vs 0.07 Gq/s XLA   (~200x)
-  * ``bilinear_batched``: ~0.14 Gq/s vs 0.016 Gq/s XLA (~8x, bf16x2 mode)
+  * ``bilinear_batched``: ~0.38 Gq/s vs 0.016 Gq/s XLA (~23x, bf16x2 mode —
+    at the MXU-FLOP-bound ceiling for this algorithm: 4 H*W MACs/query)
 
 Design notes (the TPU-native reasoning, not a CUDA translation):
 
@@ -19,13 +20,16 @@ the right-node value ``f[i0+1]`` reuse the same chunk/offset as ``f[i0]``
 (no second index computation, no chunk-boundary special case).
 
 **2D bilinear** — there is no 2D in-vreg gather, and a flat 256x256 table
-would need 512 chunk-selects.  Instead the *row* dimension rides the MXU:
-an exact one-hot-pair weight matrix (the two nonzeros per query are the
-row-blend weights) multiplies the grid, extracting the row-interpolated
-vector per query; the *column* dimension then uses the in-vreg gather.  To
-keep f32-level accuracy with bf16 MXU inputs both the grid and the weights
-are split into high/low bf16 parts (three matmuls total); ``precision='bf16'``
-drops the low parts for ~15% more speed at ~1e-2 absolute error.
+would need 512 chunk-selects.  Instead both grid dimensions become *tent
+weights*: ``relu(1 - |iota - coord|)`` is exactly the one-hot pair
+``(1-t, t)`` at the bracketing indices — built arithmetically, no masks or
+gathers.  The row weights ride the MXU (weight matrix times grid extracts
+every query's row-blended vector); the column weights finish with one
+multiply+lane-reduce.  To keep f32-level accuracy with bf16 MXU inputs both
+the grid and the weights are split into high/low bf16 parts (three matmuls);
+``precision='bf16'`` drops the low parts (one matmul, ~2.4x faster, ~1e-2
+absolute error).  The high part is built by mantissa masking because
+``--xla_allow_excess_precision`` folds ``x - bf16(x)`` to zero.
 
 The reference's restriction lerp (``/root/reference/EventDrivenMap.cu:769-785``)
 is tiny; these kernels serve the standalone batched-interpolation capability
@@ -138,43 +142,28 @@ def _bilinear_kernel(h: int, w: int, x2: bool,
     gl = gl_ref[0]
     rT = rT_ref[0, 0]          # (128, _SUB) row coords, query-on-sublane
     cT = cT_ref[0, 0]
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_LANE, h), 1)
-    n_cchunks = w // _LANE
+    iota_rf = jax.lax.broadcasted_iota(jnp.int32, (_LANE, h), 1).astype(
+        jnp.float32)
+    iota_cf = jax.lax.broadcasted_iota(jnp.int32, (_LANE, w), 1).astype(
+        jnp.float32)
     cols = []
     for j in range(_SUB):
-        r = rT[:, j:j + 1]
-        c = cT[:, j:j + 1]
-        r0 = jnp.clip(r.astype(jnp.int32), 0, h - 2)
-        c0 = jnp.clip(c.astype(jnp.int32), 0, w - 2)
-        tr = jnp.clip(r - r0.astype(jnp.float32), 0.0, 1.0)
-        tc = jnp.clip(c - c0.astype(jnp.float32), 0.0, 1.0)
-        # Exact one-hot pair with row-blend weights folded in (f32), split
-        # into high/low bf16 parts for the MXU.
-        is0 = iota_r == r0
-        is1 = iota_r == (r0 + 1)
-        wgt = jnp.where(is0, 1.0 - tr, 0.0) + jnp.where(is1, tr, 0.0)
-        wh = wgt.astype(jnp.bfloat16)
+        r = jnp.clip(rT[:, j:j + 1], 0.0, h - 1.0)
+        c = jnp.clip(cT[:, j:j + 1], 0.0, w - 1.0)
+        # The bilinear weight IS the tent function: relu(1 - |i - coord|)
+        # has exactly the one-hot pair (1-t, t) at floor/ceil of the
+        # coordinate and zeros elsewhere — no masks, no gathers.
+        wr = jnp.maximum(0.0, 1.0 - jnp.abs(iota_rf - r))    # (128, h)
+        wc = jnp.maximum(0.0, 1.0 - jnp.abs(iota_cf - c))    # (128, w)
+        wh = wr.astype(jnp.bfloat16)
         rows = jnp.dot(wh, gh, preferred_element_type=jnp.float32)
         if x2:
-            wl = (wgt - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            wl = (wr - wh.astype(jnp.float32)).astype(jnp.bfloat16)
             rows = (rows
                     + jnp.dot(wl, gh, preferred_element_type=jnp.float32)
                     + jnp.dot(wh, gl, preferred_element_type=jnp.float32))
-
-        def colpick(idx):
-            idxb = jnp.broadcast_to(idx, (_LANE, _LANE))
-            out = jnp.zeros((_LANE, _LANE), jnp.float32)
-            for k in range(n_cchunks):
-                g = jnp.take_along_axis(
-                    rows[:, k * _LANE:(k + 1) * _LANE],
-                    jnp.clip(idxb - k * _LANE, 0, _LANE - 1), axis=1)
-                out = jnp.where((idxb >= k * _LANE) & (idxb < (k + 1) * _LANE),
-                                g, out)
-            return out[:, 0:1]
-
-        v0 = colpick(c0)
-        v1 = colpick(c0 + 1)
-        cols.append(v0 + tc * (v1 - v0))
+        # column stage: the tent weights select+blend in one mul-reduce
+        cols.append(jnp.sum(rows * wc, axis=1, keepdims=True))
     out_ref[0, 0] = jnp.concatenate(cols, axis=1)
 
 

@@ -107,11 +107,19 @@ def newton_solve(
     n = x0.shape[0]
     dt_ = x0.dtype
 
+    # Iteration logging uses host callbacks, which the axon TPU PJRT does
+    # not implement — degrade to silent there (the residual history is
+    # always returned; the CLI prints its own per-step summary).
+    log = cfg.print_output and jax.default_backend() == "cpu"
+    if cfg.print_output and not log:
+        print("[newton] iteration log unavailable on this backend "
+              "(no host callbacks); see NewtonResult.residual_history")
+
     f0 = F(x0)
     norm0 = jnp.linalg.norm(f0)
     history0 = jnp.full((cfg.max_iterations + 1,), jnp.nan, dt_).at[0].set(norm0)
 
-    if cfg.print_output:
+    if log:
         jax.debug.callback(_print_header, cfg.max_iterations, cfg.tolerance)
         jax.debug.callback(_print_iteration, jnp.int32(0), norm0)
 
@@ -141,14 +149,14 @@ def newton_solve(
         f = F(x)
         norm = jnp.linalg.norm(f)
         it = c.it + 1
-        if cfg.print_output:
+        if log:
             jax.debug.callback(_print_iteration, it, norm)
         return Carry(x=x, f=f, norm=norm, it=it, converged=test(norm),
                      history=c.history.at[it].set(norm), jacobian=jac)
 
     out = jax.lax.while_loop(cond, body, init)
 
-    if cfg.print_output:
+    if log:
         jax.debug.callback(_print_footer, out.it, out.converged)
 
     return NewtonResult(solution=out.x, converged=out.converged,
