@@ -19,7 +19,6 @@ Structural differences (the TPU-native wins, per SURVEY.md §7):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -62,3 +62,15 @@ def test_map_jits_and_vmaps(cfg, params, key, z_ref):
     batched = jax.vmap(F)(pts)
     assert batched.shape == (3, 3)
     assert np.all(np.isfinite(np.asarray(batched)))
+
+
+def test_map_generalizes_over_n_spikes(key):
+    """The reference hardcodes noSpikes=3 (parameters.hpp:12); here n_spikes
+    is a config axis.  A 2-spike map evaluates with accepted realisations."""
+    cfg2 = ModelConfig(n_neurons=512, n_real=2, n_spikes=2, dtype="float64")
+    p = MapParams.create(13.0589, 0.0, dtype="float64")
+    f, d = event_driven_map(cfg2, p, key, jnp.array([0.33, 0.9]),
+                            with_diagnostics=True)
+    assert f.shape == (2,)
+    assert np.isfinite(np.asarray(f)).all()
+    assert float(d.accept_count) == 2.0
