@@ -74,17 +74,21 @@ def _evolve_kernel(cfg: ModelConfig, v0_ref, s0_ref, beta_ref, book0_ref,
         """Lane-reduce min and broadcast back to (R, width)."""
         return jnp.broadcast_to(jnp.min(x, axis=1, keepdims=True), (R, width))
 
-    def mem_fun(tt, vv, ss, bb):
-        emt = jnp.exp(-tt)
-        return (vv * emt + drive * (1.0 - emt)
-                + ss * emt / (1.0 - bb) * (jnp.exp((1.0 - bb) * tt) - 1.0)
-                - vth)
+    def _f_df(tt, vv, ss, bb):
+        """Membrane residual and derivative from ONE (e^-t, e^{(1-b)t}) pair.
 
-    def mem_dfun(tt, vv, ss, bb):
+        The reference's separate ``fun``/``dfun`` (EventDrivenMap.cu:544-552)
+        cost four transcendentals per Newton iteration; the shared form
+        costs two — the inner loop is transcendental-bound.
+        """
         emt = jnp.exp(-tt)
-        embt = jnp.exp(-tt * (bb - 1.0))
-        return (drive * emt - vv * emt + ss * emt * embt
-                + (ss * emt * (embt - 1.0)) / (bb - 1.0))
+        ebt = jnp.exp((1.0 - bb) * tt)
+        sc = ss * emt
+        f = (vv * emt + drive * (1.0 - emt)
+             + sc * (ebt - 1.0) / (1.0 - bb) - vth)
+        df = (drive * emt - vv * emt + sc * ebt
+              + sc * (ebt - 1.0) / (bb - 1.0))
+        return f, df
 
     def event_time(vv, ss, bb):
         # fire/no-fire decision (EventDrivenMap.cu:559); NaN compares false.
@@ -94,22 +98,26 @@ def _evolve_kernel(cfg: ModelConfig, v0_ref, s0_ref, beta_ref, book0_ref,
                - (vth - drive) / (bb - 1.0) * (base - q))
         decision = vv > rhs
         t0 = jnp.zeros_like(vv)
-        f0 = mem_fun(t0, vv, ss, bb) * decision.astype(jnp.float32)
+        # at t = 0 both exponentials are 1: closed forms, no transcendentals
+        f0 = (vv - vth) * decision.astype(jnp.float32)
+        df0 = drive - vv + ss
 
         def cond(c):
-            tt, ff, k = c
+            tt, ff, dff, k = c
             return jnp.logical_and(jnp.any(jnp.abs(ff) > tol),
                                    k < cfg.counter_max)
 
         def body(c):
-            tt, ff, k = c
+            tt, ff, dff, k = c
             active = jnp.abs(ff) > tol
-            tn = tt - ff / mem_dfun(tt, vv, ss, bb)
-            tt = jnp.where(active, tn, tt)
-            ff = jnp.where(active, mem_fun(tt, vv, ss, bb), ff)
-            return tt, ff, k + 1
+            tt = jnp.where(active, tt - ff / dff, tt)
+            f_new, df_new = _f_df(tt, vv, ss, bb)
+            ff = jnp.where(active, f_new, ff)
+            dff = jnp.where(active, df_new, dff)
+            return tt, ff, dff, k + 1
 
-        tt, _, _ = jax.lax.while_loop(cond, body, (t0, f0, jnp.int32(0)))
+        tt, _, _, _ = jax.lax.while_loop(cond, body, (t0, f0, df0,
+                                                      jnp.int32(0)))
         return jnp.abs(tt) + 100.0 * (1.0 - decision.astype(jnp.float32))
 
     def live_rows():
