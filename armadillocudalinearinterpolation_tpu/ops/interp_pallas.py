@@ -136,15 +136,15 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
 _SUB = 8  # query sub-tiles per grid step (each 128 queries along sublanes)
 
 
-def _bilinear_kernel(h: int, w: int, x2: bool,
-                     gh_ref, gl_ref, rT_ref, cT_ref, out_ref):
+def _bilinear_kernel2(h: int, w: int, hp: int, wp: int, x2: bool,
+                      gh_ref, gl_ref, rT_ref, cT_ref, out_ref):
     gh = gh_ref[0]
     gl = gl_ref[0]
     rT = rT_ref[0, 0]          # (128, _SUB) row coords, query-on-sublane
     cT = cT_ref[0, 0]
-    iota_rf = jax.lax.broadcasted_iota(jnp.int32, (_LANE, h), 1).astype(
+    iota_rf = jax.lax.broadcasted_iota(jnp.int32, (_LANE, hp), 1).astype(
         jnp.float32)
-    iota_cf = jax.lax.broadcasted_iota(jnp.int32, (_LANE, w), 1).astype(
+    iota_cf = jax.lax.broadcasted_iota(jnp.int32, (_LANE, wp), 1).astype(
         jnp.float32)
     cols = []
     for j in range(_SUB):
@@ -179,8 +179,12 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     """
     B, Q, _ = pts.shape
     _, H, W = grids.shape
-    if H % 8 or W % _LANE:
-        raise ValueError(f"grid ({H},{W}) must align to (8,{_LANE}); pad it")
+    # Zero-pad the grid to hardware tiling.  This is exact: query coords are
+    # clipped to the ORIGINAL [0, H-1] x [0, W-1] inside the kernel, so tent
+    # weights on padded rows/cols are identically zero (the weight at index
+    # H is 1 - |H - (H-1)| = 0 even for boundary queries).
+    Hp = ((H + 7) // 8) * 8
+    Wp = ((W + _LANE - 1) // _LANE) * _LANE
     block = _SUB * _LANE
     S = max(1, (Q + block - 1) // block)
     # query-on-sublane layout: (B, S, 128, _SUB)
@@ -189,7 +193,8 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     rT = jnp.swapaxes(p[..., 0], 2, 3)
     cT = jnp.swapaxes(p[..., 1], 2, 3)
 
-    g32 = grids.astype(jnp.float32)
+    g32 = jnp.pad(grids.astype(jnp.float32),
+                  ((0, 0), (0, Hp - H), (0, Wp - W)))
     # High/low bf16 split via mantissa masking.  A plain
     # ``g - bf16(g).astype(f32)`` is folded to zero by XLA under
     # ``--xla_allow_excess_precision`` (bf16 round-trips are treated as
@@ -202,13 +207,14 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     gl = (g32 - hi).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
-        functools.partial(_bilinear_kernel, H, W, precision == "bf16x2"),
+        functools.partial(_bilinear_kernel2, H, W, Hp, Wp,
+                          precision == "bf16x2"),
         out_shape=jax.ShapeDtypeStruct((B, S, _LANE, _SUB), jnp.float32),
         grid=(B, S),
         in_specs=[
-            pl.BlockSpec((1, H, W), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, Hp, Wp), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, Hp, Wp), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _LANE, _SUB), lambda b, s: (b, s, 0, 0),
                          memory_space=pltpu.VMEM),

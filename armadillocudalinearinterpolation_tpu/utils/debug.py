@@ -63,3 +63,33 @@ def dump_map_stages(cfg: ModelConfig, params: MapParams, key: jax.Array,
     for name, arr in host.items():
         np.save(out / f"{name}.npy", arr)
     return host
+
+
+def compare_dumps(dir_a: str | os.PathLike, dir_b: str | os.PathLike,
+                  *, rtol: float = 0.0, atol: float = 1e-10) -> dict:
+    """Compare two stage-dump directories (e.g. CPU-fp64 oracle vs TPU-fp32).
+
+    The golden-file workflow the reference supported only by eyeballing
+    ``test*.dat`` in MATLAB (SURVEY.md §4).  Returns per-stage max absolute
+    differences; raises ``AssertionError`` listing stages out of tolerance.
+    """
+    a, b = pathlib.Path(dir_a), pathlib.Path(dir_b)
+    report = {}
+    bad = []
+    for f in sorted(a.glob("*.npy")):
+        g = b / f.name
+        if not g.exists():
+            bad.append(f"{f.stem}: missing in {b}")
+            continue
+        x = np.load(f).astype(np.float64)
+        y = np.load(g).astype(np.float64)
+        if x.shape != y.shape:
+            bad.append(f"{f.stem}: shape {x.shape} vs {y.shape}")
+            continue
+        err = float(np.nanmax(np.abs(x - y))) if x.size else 0.0
+        report[f.stem] = err
+        if not np.allclose(x, y, rtol=rtol, atol=atol, equal_nan=True):
+            bad.append(f"{f.stem}: max|diff|={err:.3e}")
+    if bad:
+        raise AssertionError("stage dumps differ: " + "; ".join(bad))
+    return report

@@ -68,7 +68,14 @@ def test_bilinear_bf16_mode_coarser():
     assert err < 0.05  # bf16-level
 
 
-def test_bilinear_rejects_unaligned_grid():
-    with pytest.raises(ValueError, match="align"):
-        interp_pallas.bilinear_batched(
-            jnp.zeros((1, 8, 2)), jnp.zeros((1, 100, 100)))
+def test_bilinear_unaligned_grid_auto_padded():
+    """Non-tiling-aligned grids are zero-padded internally — exact, because
+    tent weights vanish on padded rows/cols (queries clip to the original
+    extent)."""
+    B, H, W, Q = 2, 100, 100, 333
+    grids = jax.random.normal(jax.random.PRNGKey(5), (B, H, W), jnp.float32)
+    pts = jax.random.uniform(jax.random.PRNGKey(6), (B, Q, 2), jnp.float32,
+                             -2.0, float(H) + 2.0)  # incl. boundary/overflow
+    got = interp_pallas.bilinear_batched(pts, grids)
+    want = interp.bilinear_batched(pts, grids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
