@@ -48,18 +48,6 @@ class ModelConfig:
     n_neurons: int = 1024
     n_real: int = 1000
     n_spikes: int = 3
-
-    def __post_init__(self):
-        if self.n_neurons < 1 or self.n_real < 1 or self.n_spikes < 1:
-            raise ValueError("n_neurons, n_real, n_spikes must be positive")
-        if self.n_neurons < 256:
-            import warnings
-            warnings.warn(
-                f"n_neurons={self.n_neurons} is below the model's physical "
-                "resolution floor (~256 at the default parameters): the "
-                "lifted state may fire no neurons, rejecting every "
-                "realisation (NaN mean).", stacklevel=2)
-
     vth: float = 1.0
     vr: float = 0.0
     a1: float = 11.0
@@ -73,6 +61,17 @@ class ModelConfig:
     counter_max: int = 50
     max_events: int = 4096
     dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.n_neurons < 1 or self.n_real < 1 or self.n_spikes < 1:
+            raise ValueError("n_neurons, n_real, n_spikes must be positive")
+        if self.n_neurons < 256:
+            import warnings
+            warnings.warn(
+                f"n_neurons={self.n_neurons} is below the model's physical "
+                "resolution floor (~256 at the default parameters): the "
+                "lifted state may fire no neurons, rejecting every "
+                "realisation (NaN mean).", stacklevel=2)
 
     @property
     def dx(self) -> float:
