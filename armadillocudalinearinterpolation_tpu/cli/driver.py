@@ -106,6 +106,11 @@ def main(argv=None) -> int:
             start = last.index + 1
             beta = last.beta + args.beta_step
             Z = jnp.asarray(last.solution, dt_)
+            # Fast-forward the reseed protocol: an uninterrupted sweep splits
+            # the key once per completed step, so a resumed sweep must too —
+            # otherwise step `start` re-uses step 0's heterogeneity draws.
+            for _ in range(start):
+                key, _ = jax.random.split(key)
             print(f"resuming at step {start} (beta={beta:.4f})")
 
     # Smoke test, as in Driver.cu:58-59.
@@ -140,9 +145,13 @@ def main(argv=None) -> int:
         n_unstable = None
         eigenvalues = None
         if args.stability:
+            # A 0-iteration solve exports the identity placeholder, not a
+            # real Jacobian — fall back to finite differences then.
+            jac = np.asarray(res.jacobian) if int(res.iterations) > 0 else None
             ev = compute_eigenvalues(
                 make_residual_fn(cfg, params, key), res.solution,
-                ProblemType.EQUATION_FREE, jacobian=res.jacobian)
+                ProblemType.EQUATION_FREE, jacobian=jac,
+                epsilon=args.fd_eps)
             eigenvalues = np.asarray(ev)
             n_unstable = int(count_unstable(ev, ProblemType.EQUATION_FREE))
             verdict = "unstable" if n_unstable else "stable"

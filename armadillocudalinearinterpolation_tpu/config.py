@@ -65,6 +65,13 @@ class ModelConfig:
     def __post_init__(self):
         if self.n_neurons < 1 or self.n_real < 1 or self.n_spikes < 1:
             raise ValueError("n_neurons, n_real, n_spikes must be positive")
+        if self.vr != 0.0:
+            # Every evolve implementation (and the reference itself:
+            # EventDrivenMap.cu:615 multiplies by zero, ignoring the vr
+            # macro) hard-codes reset-to-zero.  Reject rather than silently
+            # ignore a nonzero setting.
+            raise ValueError("vr != 0 is not supported: the reset is "
+                             "multiplicative (v=0), as in the reference")
         if self.n_neurons < 256:
             import warnings
             warnings.warn(

@@ -64,6 +64,45 @@ def sample_beta(cfg: ModelConfig, params: MapParams, key: jax.Array
     return params.beta.astype(dt_) + params.sigma.astype(dt_) * noise
 
 
+def select_pallas_evolve(cfg: ModelConfig, evolve_backend: str) -> bool:
+    """Resolve the evolve-backend switch (shared by every map variant)."""
+    if evolve_backend not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown evolve_backend: {evolve_backend!r}")
+    return evolve_backend == "pallas" or (
+        evolve_backend == "auto"
+        and cfg.dtype == "float32"
+        and cfg.n_neurons % 128 == 0
+        and jax.default_backend() == "tpu")
+
+
+def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
+                 beta: jax.Array, *, use_pallas: bool = False):
+    """The lift -> evolve -> restrict stages shared by every map variant.
+
+    Returns ``(U, init_ind, v0, s0, evolve_result, positions)``; callers
+    differ only in how they produce ``beta`` (plain / sharding-constrained /
+    per-device) and how they reduce ``positions`` (local mean / psum).
+    """
+    dt_ = cfg.jdtype
+    U = z_to_u(Z.astype(dt_))
+    init_ind = initial_spike_indices(cfg, Z)
+    v0, s0 = lift(cfg, params, U)
+    if use_pallas:
+        from .evolve_pallas import evolve_ensemble_pallas
+        res = evolve_ensemble_pallas(cfg, v0, s0, beta, init_ind)
+    else:
+        res = evolve_ensemble(cfg, coupling_kernel(cfg), v0, s0, beta,
+                              init_ind)
+    return U, init_ind, v0, s0, res, restrict_positions(cfg, res)
+
+
+def assemble_residual(cfg: ModelConfig, U: jax.Array, u_mean: jax.Array
+                      ) -> jax.Array:
+    """``f = -c U[1:] - U_T + c T`` (``EventDrivenMap.cu:239``)."""
+    return (-U[0] * U[1:] - u_mean
+            + U[0] * jnp.asarray(cfg.t_horizon, cfg.jdtype))
+
+
 def event_driven_map(cfg: ModelConfig, params: MapParams, key: jax.Array,
                      Z: jax.Array, *, with_diagnostics: bool = False,
                      evolve_backend: str = "auto"):
@@ -85,31 +124,13 @@ def event_driven_map(cfg: ModelConfig, params: MapParams, key: jax.Array,
       Residual assembly (``EventDrivenMap.cu:239``):
       ``f = -c * U[1:] - U_T + c * T``.
     """
-    dt_ = cfg.jdtype
-    Z = Z.astype(dt_)
-    U = z_to_u(Z)
-    c = U[0]
-
-    init_ind = initial_spike_indices(cfg, Z)
-    v0, s0 = lift(cfg, params, U)
     beta = sample_beta(cfg, params, key)
-    if evolve_backend not in ("auto", "xla", "pallas"):
-        raise ValueError(f"unknown evolve_backend: {evolve_backend!r}")
-    use_pallas = evolve_backend == "pallas" or (
-        evolve_backend == "auto"
-        and cfg.dtype == "float32"
-        and cfg.n_neurons % 128 == 0
-        and jax.default_backend() == "tpu")
-    if use_pallas:
-        from .evolve_pallas import evolve_ensemble_pallas
-        res = evolve_ensemble_pallas(cfg, v0, s0, beta, init_ind)
-    else:
-        res = evolve_ensemble(cfg, coupling_kernel(cfg), v0, s0, beta,
-                              init_ind)
-    positions = restrict_positions(cfg, res)
+    use_pallas = select_pallas_evolve(cfg, evolve_backend)
+    U, init_ind, v0, s0, res, positions = run_pipeline(
+        cfg, params, Z, beta, use_pallas=use_pallas)
     u_mean, count = masked_ensemble_mean(positions, res.accept)
 
-    f = -c * U[1:] - u_mean + c * jnp.asarray(cfg.t_horizon, dt_)
+    f = assemble_residual(cfg, U, u_mean)
     if with_diagnostics:
         return f, MapDiagnostics(v0=v0, s0=s0, init_ind=init_ind, evolve=res,
                                  positions=positions, accept_count=count,

@@ -121,5 +121,11 @@ def initial_spike_indices(cfg: ModelConfig, Z: jax.Array) -> jax.Array:
     # largest i with -L + dx*i < p  <=>  i = ceil((p + L)/dx) - 1
     raw = jnp.ceil((pos + cfg.half_width) / cfg.dx).astype(jnp.int32) - 1
     idx = jnp.clip(raw, 0, cfg.n_neurons - 1)
-    return jnp.concatenate(
-        [jnp.array([cfg.n_neurons // 2], jnp.int32), idx])
+    # The reference scans downward FROM the previous spike's index, so
+    # ind[m] <= ind[m-1] always holds; reproduce that monotone constraint
+    # (it only binds for unordered Z, where the plain closed form would
+    # exceed the previous index).
+    inds = [jnp.asarray(cfg.n_neurons // 2, jnp.int32)]
+    for m in range(cfg.n_spikes - 1):
+        inds.append(jnp.minimum(idx[m], inds[-1]))
+    return jnp.stack(inds)

@@ -204,17 +204,21 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
         jax.lax.bitcast_convert_type(g32, jnp.uint32) & jnp.uint32(0xFFFF0000),
         jnp.float32)
     gh = hi.astype(jnp.bfloat16)            # exact: low mantissa bits are zero
-    gl = (g32 - hi).astype(jnp.bfloat16)
+    x2 = precision == "bf16x2"
+    # In 'bf16' mode the kernel never reads the low part: ship a tiny dummy
+    # block instead of computing and streaming a second full grid.
+    gl = ((g32 - hi).astype(jnp.bfloat16) if x2
+          else jnp.zeros((B, 8, _LANE), jnp.bfloat16))
+    gl_block = (1, Hp, Wp) if x2 else (1, 8, _LANE)
 
     out = pl.pallas_call(
-        functools.partial(_bilinear_kernel2, H, W, Hp, Wp,
-                          precision == "bf16x2"),
+        functools.partial(_bilinear_kernel2, H, W, Hp, Wp, x2),
         out_shape=jax.ShapeDtypeStruct((B, S, _LANE, _SUB), jnp.float32),
         grid=(B, S),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hp, Wp), lambda b, s: (b, 0, 0),
+            pl.BlockSpec(gl_block, lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _LANE, _SUB), lambda b, s: (b, s, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -30,10 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig, MapParams, NewtonConfig
 from ..model import emap as _emap
-from ..model.coupling import coupling_kernel
-from ..model.lift import lift, initial_spike_indices
-from ..model.evolve import evolve_ensemble
-from ..model.restrict import restrict_positions, masked_ensemble_mean
+from ..model.restrict import masked_ensemble_mean
 from ..solvers.newton import newton_solve, NewtonResult
 
 
@@ -66,18 +63,14 @@ def event_driven_map_sharded(cfg: ModelConfig, params: MapParams,
                              axis: str = "real") -> jax.Array:
     """:func:`..model.emap.event_driven_map` with the realisation ensemble
     sharded over ``mesh[axis]``.  Identical numerics to the unsharded map
-    (same traced program, GSPMD-partitioned)."""
+    (same traced program, GSPMD-partitioned).  Always uses the XLA evolve
+    backend: GSPMD cannot partition a ``pallas_call`` — use
+    :func:`make_shard_map_residual_fn` for the Pallas multi-chip route."""
     constrain = ensemble_constraint(mesh, axis)
-    dt_ = cfg.jdtype
-    Z = Z.astype(dt_)
-    U = _emap.z_to_u(Z)
-    init_ind = initial_spike_indices(cfg, Z)
-    v0, s0 = lift(cfg, params, U)
     beta = constrain(_emap.sample_beta(cfg, params, key))
-    res = evolve_ensemble(cfg, coupling_kernel(cfg), v0, s0, beta, init_ind)
-    positions = restrict_positions(cfg, res)
+    U, _, _, _, res, positions = _emap.run_pipeline(cfg, params, Z, beta)
     u_mean, _ = masked_ensemble_mean(positions, res.accept)
-    return -U[0] * U[1:] - u_mean + U[0] * jnp.asarray(cfg.t_horizon, dt_)
+    return _emap.assemble_residual(cfg, U, u_mean)
 
 
 def make_sharded_residual_fn(cfg: ModelConfig, params: MapParams,
@@ -131,36 +124,18 @@ def make_shard_map_residual_fn(cfg: ModelConfig, params: MapParams,
     local_cfg = cfg.with_(n_real=cfg.n_real // n_dev)
     dt_ = cfg.jdtype
 
-    def local_map(Z):
-        from ..model.lift import lift, initial_spike_indices
-        from ..model.restrict import restrict_positions
+    use_pallas = _emap.select_pallas_evolve(cfg, evolve_backend)
 
+    def local_map(Z):
         idx = jax.lax.axis_index(axis)
         local_key = jax.random.fold_in(key, idx)
-        Z = Z.astype(dt_)
-        U = _emap.z_to_u(Z)
-        init_ind = initial_spike_indices(local_cfg, Z)
-        v0, s0 = lift(local_cfg, params, U)
         beta = _emap.sample_beta(local_cfg, params, local_key)
-        use_pallas = evolve_backend == "pallas" or (
-            evolve_backend == "auto" and cfg.dtype == "float32"
-            and cfg.n_neurons % 128 == 0
-            and jax.default_backend() == "tpu")
-        if use_pallas:
-            from ..model.evolve_pallas import evolve_ensemble_pallas
-            res = evolve_ensemble_pallas(local_cfg, v0, s0, beta, init_ind)
-        else:
-            res = evolve_ensemble(local_cfg, coupling_kernel(local_cfg),
-                                  v0, s0, beta, init_ind)
-        positions = restrict_positions(local_cfg, res)
+        U, _, _, _, res, positions = _emap.run_pipeline(
+            local_cfg, params, Z, beta, use_pallas=use_pallas)
         mask = res.accept.astype(dt_)[:, None]
-        local_sum = jnp.sum(positions * mask, axis=0)
-        local_count = jnp.sum(res.accept.astype(dt_))
-        total_sum = jax.lax.psum(local_sum, axis)
-        total_count = jax.lax.psum(local_count, axis)
-        u_mean = total_sum / total_count
-        return -U[0] * U[1:] - u_mean + U[0] * jnp.asarray(
-            cfg.t_horizon, dt_)
+        total_sum = jax.lax.psum(jnp.sum(positions * mask, axis=0), axis)
+        total_count = jax.lax.psum(jnp.sum(res.accept.astype(dt_)), axis)
+        return _emap.assemble_residual(cfg, U, total_sum / total_count)
 
     spec_rep = P()
     smapped = jax.shard_map(local_map, mesh=mesh, in_specs=(spec_rep,),
