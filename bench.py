@@ -137,9 +137,21 @@ def bench_map_and_newton():
 def main():
     extras = {}
 
-    qps, s_pallas, s_xla = bench_bilinear2d()
-    extras["bilinear2d_pallas_ms"] = round(s_pallas * 1e3, 3)
-    extras["bilinear2d_xla_ms"] = round(s_xla * 1e3, 3)
+    # The headline must survive anything: a crashed TPU worker or a failed
+    # kernel compile degrades to an error record, never an empty stdout.
+    try:
+        qps, s_pallas, s_xla = bench_bilinear2d()
+        extras["bilinear2d_pallas_ms"] = round(s_pallas * 1e3, 3)
+        extras["bilinear2d_xla_ms"] = round(s_xla * 1e3, 3)
+    except Exception as e:
+        print(json.dumps({"headline_error": str(e)[:300]}), file=sys.stderr)
+        print(json.dumps({
+            "metric": "batched_2d_bilinear_interp",
+            "value": 0.0,
+            "unit": "Mqueries/s",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     try:
         extras["lerp1d_qps"] = round(bench_lerp1d() / 1e9, 3)
