@@ -83,8 +83,8 @@ def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
     differ only in how they produce ``beta`` (plain / sharding-constrained /
     per-device) and how they reduce ``positions`` (local mean / psum).
     """
-    dt_ = cfg.jdtype
-    U = z_to_u(Z.astype(dt_))
+    Z = Z.astype(cfg.jdtype)   # seed indices and lift from the SAME precision
+    U = z_to_u(Z)
     init_ind = initial_spike_indices(cfg, Z)
     v0, s0 = lift(cfg, params, U)
     if use_pallas:

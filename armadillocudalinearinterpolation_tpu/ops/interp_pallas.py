@@ -6,8 +6,9 @@ v5e chip against the XLA gather lowering (chained-iteration timing, see
 ``bench.py``):
 
   * ``lerp1d``:   ~14 Gq/s  vs 0.07 Gq/s XLA   (~200x)
-  * ``bilinear_batched``: ~0.38 Gq/s vs 0.016 Gq/s XLA (~23x, bf16x2 mode —
-    at the MXU-FLOP-bound ceiling for this algorithm: 4 H*W MACs/query)
+  * ``bilinear_batched``: ~0.34 Gq/s vs 0.016 Gq/s XLA (~20-38x run to run,
+    bf16x2 mode — at the MXU-FLOP-bound ceiling of the algorithm:
+    4 H*W MACs/query)
 
 Design notes (the TPU-native reasoning, not a CUDA translation):
 
@@ -174,8 +175,9 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     """Batched 2D bilinear lookup, Pallas MXU fast path.
 
     Args/semantics match :func:`..ops.interp.bilinear_batched`:
-    ``pts (B, Q, 2)`` index-space queries (clamped), ``grids (B, H, W)``.
-    ``H`` must be a multiple of 8 and ``W`` a multiple of 128 (pad first).
+    ``pts (B, Q, 2)`` index-space queries (clamped), ``grids (B, H, W)`` of
+    any shape (zero-padded to hardware tiling internally — exact, see the
+    kernel comment).
     """
     B, Q, _ = pts.shape
     _, H, W = grids.shape

@@ -76,6 +76,9 @@ def compare_dumps(dir_a: str | os.PathLike, dir_b: str | os.PathLike,
     a, b = pathlib.Path(dir_a), pathlib.Path(dir_b)
     report = {}
     bad = []
+    only_b = {p.name for p in b.glob("*.npy")} - {p.name for p in a.glob("*.npy")}
+    for name in sorted(only_b):
+        bad.append(f"{pathlib.Path(name).stem}: missing in {a}")
     for f in sorted(a.glob("*.npy")):
         g = b / f.name
         if not g.exists():

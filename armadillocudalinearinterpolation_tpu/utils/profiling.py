@@ -31,10 +31,34 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def chained_slope(make_run: Callable[[int], Callable[[], jax.Array]],
+                  *, k_lo: int = 1, k_hi: int = 5, reps: int = 3,
+                  stat=np.median) -> float:
+    """Per-iteration device seconds via chained-K slope fitting.
+
+    ``make_run(K)`` must return a zero-arg jitted function chaining K
+    data-dependent iterations and returning a scalar; the host readback of
+    that scalar is the only reliable synchronisation point on this machine's
+    tunneled TPU.  This is the single timing primitive shared by
+    ``bench.py`` and :func:`device_time`.
+    """
+    med = {}
+    for k in (k_lo, k_hi):
+        f = make_run(k)
+        float(f())  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        med[k] = float(stat(ts))
+    return max((med[k_hi] - med[k_lo]) / (k_hi - k_lo), 1e-9)
+
+
 def device_time(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
                 *, k_lo: int = 1, k_hi: int = 9, reps: int = 5) -> float:
-    """Median per-iteration device seconds of ``step`` (a data-dependent
-    ``x -> x`` function), measured by chained-K slope."""
+    """Min-statistic per-iteration device seconds of ``step`` (a
+    data-dependent ``x -> x`` function), via :func:`chained_slope`."""
     def make(K):
         @jax.jit
         def run():
@@ -42,14 +66,4 @@ def device_time(step: Callable[[jax.Array], jax.Array], x0: jax.Array,
                 jax.lax.fori_loop(0, K, lambda i, x: step(x), x0))
         return run
 
-    med = {}
-    for k in (k_lo, k_hi):
-        f = make(k)
-        float(f())
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f())
-            ts.append(time.perf_counter() - t0)
-        med[k] = float(np.min(ts))
-    return max((med[k_hi] - med[k_lo]) / (k_hi - k_lo), 1e-9)
+    return chained_slope(make, k_lo=k_lo, k_hi=k_hi, reps=reps, stat=np.min)

@@ -28,19 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _slope(make_run, k_lo=1, k_hi=5, reps=3, stat=np.median):
-    """Per-iteration device time via chained-K slope."""
-    med = {}
-    for k in (k_lo, k_hi):
-        f = make_run(k)
-        float(f())  # compile + warm
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f())  # host readback forces completion
-            ts.append(time.perf_counter() - t0)
-        med[k] = float(stat(ts))
-    return max((med[k_hi] - med[k_lo]) / (k_hi - k_lo), 1e-9)
+from armadillocudalinearinterpolation_tpu.utils.profiling import (
+    chained_slope as _slope)
 
 
 def bench_bilinear2d():
@@ -138,20 +127,15 @@ def main():
     extras = {}
 
     # The headline must survive anything: a crashed TPU worker or a failed
-    # kernel compile degrades to an error record, never an empty stdout.
+    # kernel compile degrades to an error record, never an empty stdout —
+    # and the remaining (independent) benchmarks still run and report.
+    qps = s_xla = s_pallas = None
     try:
         qps, s_pallas, s_xla = bench_bilinear2d()
         extras["bilinear2d_pallas_ms"] = round(s_pallas * 1e3, 3)
         extras["bilinear2d_xla_ms"] = round(s_xla * 1e3, 3)
     except Exception as e:
-        print(json.dumps({"headline_error": str(e)[:300]}), file=sys.stderr)
-        print(json.dumps({
-            "metric": "batched_2d_bilinear_interp",
-            "value": 0.0,
-            "unit": "Mqueries/s",
-            "vs_baseline": 0.0,
-        }))
-        return
+        extras["headline_error"] = str(e)[:300]
 
     try:
         extras["lerp1d_qps"] = round(bench_lerp1d() / 1e9, 3)
@@ -170,9 +154,9 @@ def main():
     print(json.dumps(extras), file=sys.stderr)
     print(json.dumps({
         "metric": "batched_2d_bilinear_interp",
-        "value": round(qps / 1e6, 1),
+        "value": round(qps / 1e6, 1) if qps else 0.0,
         "unit": "Mqueries/s",
-        "vs_baseline": round(s_xla / s_pallas, 2),
+        "vs_baseline": round(s_xla / s_pallas, 2) if qps else 0.0,
     }))
 
 
