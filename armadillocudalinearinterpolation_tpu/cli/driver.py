@@ -48,6 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-4)
     p.add_argument("--max-iter", type=int, default=10)
     p.add_argument("--fd-eps", type=float, default=1e-2)
+    p.add_argument("--fd-mode", choices=["forward", "central"],
+                   default="forward",
+                   help="Jacobian differencing. central is O(eps^2) and "
+                        "reaches a ~15x deeper fp32 floor on fine grids "
+                        "(N >= 2048), but the map's O(dx) staircase "
+                        "discontinuities can defeat it on coarse grids")
+    p.add_argument("--evolve-backend", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="event-loop backend (auto picks the Pallas kernel "
+                        "on TPU for fp32, lane-aligned grids)")
     p.add_argument("--damping", type=float, default=1.0)
     p.add_argument("--quiet", action="store_true")
     # continuation (Driver.cu:86-114)
@@ -86,7 +96,7 @@ def main(argv=None) -> int:
                       dtype=args.dtype)
     ncfg = NewtonConfig(tolerance=args.tol, max_iterations=args.max_iter,
                         fd_epsilon=args.fd_eps, damping=args.damping,
-                        print_output=not args.quiet)
+                        print_output=not args.quiet, fd_mode=args.fd_mode)
     dt_ = cfg.jdtype
     Z = jnp.asarray(args.guess, dt_)
     if Z.shape != (args.spikes,):
@@ -116,7 +126,8 @@ def main(argv=None) -> int:
     # Smoke test, as in Driver.cu:58-59.
     params = MapParams.create(beta, args.sigma, dtype=args.dtype)
     t0 = time.time()
-    f0 = event_driven_map(cfg, params, key, Z)
+    f0 = event_driven_map(cfg, params, key, Z,
+                          evolve_backend=args.evolve_backend)
     print(f"ComputeF smoke test: |f| = {float(jnp.linalg.norm(f0)):.6e} "
           f"({time.time() - t0:.2f}s incl. compile)")
 
@@ -125,7 +136,8 @@ def main(argv=None) -> int:
         print(f"stage dumps written to {args.debug_dump}/")
 
     solve = jax.jit(lambda p, k, z: newton_solve(
-        make_residual_fn(cfg, p, k), z, ncfg))
+        make_residual_fn(cfg, p, k, evolve_backend=args.evolve_backend),
+        z, ncfg))
 
     for i in range(start, start + args.steps):
         params = MapParams.create(beta, args.sigma, dtype=args.dtype)

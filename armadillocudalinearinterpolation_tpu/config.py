@@ -126,3 +126,4 @@ class NewtonConfig:
     fd_epsilon: float = 1e-2
     damping: float = 1.0
     print_output: bool = False
+    fd_mode: str = "forward"   # "forward" (reference) | "central" (O(eps^2))

@@ -113,7 +113,8 @@ def bench_map_and_newton():
     # Newton wall-clock at N=4096 (tol 1e-8 target; fp32 floors near 1e-6).
     cfg4k = ModelConfig(n_neurons=4096, n_real=64, dtype="float32")
     F4k = make_residual_fn(cfg4k, params, key)
-    ncfg = NewtonConfig(tolerance=1e-8, max_iterations=6, fd_epsilon=1e-4)
+    ncfg = NewtonConfig(tolerance=1e-8, max_iterations=6, fd_epsilon=1e-3,
+                        fd_mode="central")
     solve = jax.jit(lambda z: newton_solve(F4k, z, ncfg))
     res = solve(Z0)
     t0 = time.perf_counter()

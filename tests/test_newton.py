@@ -94,3 +94,23 @@ def test_newton_converges_on_event_driven_map(cfg, params, key, z_ref):
     np.testing.assert_allclose(sol, [0.331, 0.6914, 1.3557], atol=0.05)
     # quadratic convergence: final residual far below tolerance
     assert float(res.residual_norm) < 1e-11
+
+
+def test_central_fd_jacobian_matches_analytic():
+    from armadillocudalinearinterpolation_tpu.solvers.newton import (
+        central_fd_jacobian)
+    x = jnp.array([1.5, -2.0, 0.5])
+    F = lambda u: jnp.array([u[0] * u[1], jnp.sin(u[2]), u[0] + u[2] ** 2])
+    J_fd = central_fd_jacobian(F, x, 1e-5)
+    J_an = jax.jacfwd(F)(x)
+    # central: O(eps^2) truncation — much tighter than forward at same eps
+    np.testing.assert_allclose(np.asarray(J_fd), np.asarray(J_an), atol=1e-9)
+
+
+def test_newton_central_mode_solves():
+    cfg = NewtonConfig(tolerance=1e-12, max_iterations=30, fd_epsilon=1e-5,
+                       fd_mode="central")
+    res = newton_solve(quad, jnp.array([1.0, 1.0]), cfg)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.solution), [2.0, 3.0],
+                               rtol=1e-10)
