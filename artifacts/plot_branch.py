@@ -42,7 +42,10 @@ def main():
     up = load("sweep_beta13-23")
     down = load("sweep_beta13-down")
     low64 = load("sweep_beta8-down-fp64")
+    up64 = load("sweep_beta13-up-fp64")
+    fast64 = load("sweep_fastbranch-down-fp64")
     fp32 = np.vstack([down, up])
+    slow64 = np.vstack([low64, up64])
 
     fig, (ax1, ax2) = plt.subplots(
         2, 1, figsize=(7.2, 5.4), sharex=True, facecolor=SURFACE,
@@ -57,7 +60,8 @@ def main():
         ax.tick_params(colors=TEXT2, labelsize=9)
 
     ax1.plot(fp32[:, 0], fp32[:, 1], color=S1, lw=2, zorder=3)
-    ax1.plot(low64[:, 0], low64[:, 1], color=S2, lw=2, zorder=3)
+    ax1.plot(slow64[:, 0], slow64[:, 1], color=S2, lw=2, zorder=3)
+    ax1.plot(fast64[:, 0], fast64[:, 1], color=S2, lw=2, zorder=3)
     ax1.set_title("Wave speed c along the 3-spike branch",
                   loc="left", fontsize=11, color=TEXT)
     ax1.set_ylabel("c", color=TEXT2, fontsize=10, rotation=0, labelpad=12)
@@ -73,12 +77,17 @@ def main():
     ax1.annotate("branch end\n(oracle-confirmed)",
                  (fp32[-1, 0], fp32[-1, 1]), xytext=(-30, -30),
                  textcoords="offset points", color=TEXT2, fontsize=8)
-    ax1.annotate("branch switch\n(c jumps 0.34 \u2192 0.53)",
-                 (16.0, 0.44), xytext=(-110, -6),
+    ax1.annotate("slow branch ends here (fp64);\nfp32 Newton jumps to the fast branch",
+                 (16.0, 0.44), xytext=(-150, -6),
                  textcoords="offset points", color=TEXT2, fontsize=8)
+    ax1.annotate("fast branch (fp64)", (fast64[len(fast64)//3, 0],
+                                        fast64[len(fast64)//3, 1]),
+                 xytext=(0, 8), textcoords="offset points",
+                 color=TEXT2, fontsize=9)
 
     ax2.plot(fp32[:, 0], fp32[:, 2], color=S1, lw=2, zorder=3)
-    ax2.plot(low64[:, 0], low64[:, 2], color=S2, lw=2, zorder=3)
+    ax2.plot(slow64[:, 0], slow64[:, 2], color=S2, lw=2, zorder=3)
+    ax2.plot(fast64[:, 0], fast64[:, 2], color=S2, lw=2, zorder=3)
     ax2.axhline(1.0, color=TEXT2, lw=1, ls=(0, (4, 3)), zorder=2)
     ax2.annotate("|λ| = 1 (map stability threshold)", (3.4, 1.0),
                  xytext=(0, 5), textcoords="offset points",
