@@ -10,7 +10,7 @@ analogue of the reference's one-block-per-realisation design
 in one kernel launch with shared-memory state.
 
 Design notes:
-  * A grid step owns ``R_BLOCK`` realisations as ``(R_BLOCK, N)`` vregs;
+  * A grid step owns ``_r_block(N)`` realisations as ``(r_block, N)`` vregs;
     realisations in a block run lockstep under masks (small blocks keep the
     lockstep waste low; blocks exit independently like CUDA blocks).
   * Mutable state (``v``, ``s``, ``t`` and the packed bookkeeping row) lives
@@ -44,15 +44,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ModelConfig
 from .evolve import EvolveResult
 
-# Realisations per grid step.  Measured on v5e at N=512, R=1024 (device
-# time, RTT subtracted): 8 -> 120ms, 32 -> 49ms, 128 -> 43ms, 256 -> 40ms.
-# 32 captures most of the win while keeping lockstep waste and VMEM small.
-R_BLOCK = 32
 _LANE = 128
+# Elements per (r_block, N) block.  This bounds BOTH VMEM (128K f32 x 3
+# state arrays = 1.5MB) and, critically, Mosaic compile time, which scales
+# with the vreg count of every op in the unrolled kernel body — blocks much
+# past ~128K elements push a fresh kernel compile beyond the remote
+# compile-helper's time limit.
+_BLOCK_ELEMENT_BUDGET = 128 * 1024
 
 
-def _evolve_kernel(cfg: ModelConfig, v0_ref, s0_ref, beta_ref, book0_ref,
-                   out_ref, v_s, s_s, t_s):
+def _r_block(n_neurons: int) -> int:
+    """Realisations per grid step, sized to the element budget.
+
+    Measured on v5e at N=512, R=1024 (device time, RTT subtracted):
+    8 -> 120ms, 32 -> 49ms, 128 -> 43ms, 256 -> 40ms — bigger blocks
+    amortise per-event loop overhead; lockstep waste within a block is
+    small because realisations have similar event counts.
+    """
+    rb = _BLOCK_ELEMENT_BUDGET // n_neurons
+    return int(max(8, min(128, (rb // 8) * 8)))
+
+
+def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
+                   book0_ref, out_ref, v_s, s_s, t_s):
     N = cfg.n_neurons
     M = cfg.n_spikes
     T = jnp.float32(cfg.t_horizon)
@@ -60,7 +74,7 @@ def _evolve_kernel(cfg: ModelConfig, v0_ref, s0_ref, beta_ref, book0_ref,
     drive = jnp.float32(cfg.drive)
     vth = jnp.float32(cfg.vth)
     dx = jnp.float32(cfg.dx)
-    R = R_BLOCK
+    R = r_block
 
     # ---- state init (VMEM refs; the reference's shared-memory load, :591-599)
     v_s[:] = jnp.broadcast_to(v0_ref[:], (R, N))
@@ -234,8 +248,9 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
     if 5 * M + 2 > _LANE:
         raise ValueError("n_spikes too large for packed output vreg")
     R = cfg.n_real
-    n_blocks = (R + R_BLOCK - 1) // R_BLOCK
-    Rp = n_blocks * R_BLOCK
+    r_block = _r_block(cfg.n_neurons)
+    n_blocks = (R + r_block - 1) // r_block
+    Rp = n_blocks * r_block
     beta32 = beta.astype(jnp.float32)
     if Rp != R:
         beta32 = jnp.concatenate(
@@ -252,7 +267,7 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
                       jnp.float32(2.0 * cfg.t_horizon), ind_f)
 
     packed = pl.pallas_call(
-        functools.partial(_evolve_kernel, cfg),
+        functools.partial(_evolve_kernel, cfg, r_block),
         out_shape=jax.ShapeDtypeStruct((Rp, _LANE), jnp.float32),
         grid=(n_blocks,),
         in_specs=[
@@ -260,17 +275,17 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cfg.n_neurons), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_BLOCK, cfg.n_neurons), lambda i: (i, 0),
+            pl.BlockSpec((r_block, cfg.n_neurons), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R_BLOCK, _LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((r_block, _LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R_BLOCK, cfg.n_neurons), jnp.float32),
-            pltpu.VMEM((R_BLOCK, cfg.n_neurons), jnp.float32),
-            pltpu.VMEM((R_BLOCK, cfg.n_neurons), jnp.float32),
+            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
+            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
+            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
         ],
     )(v0.astype(jnp.float32)[None, :], s0.astype(jnp.float32)[None, :],
       beta32, book0[None, :])

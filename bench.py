@@ -99,14 +99,18 @@ def bench_map_and_newton():
     params = MapParams.create(13.0589, 0.1, dtype="float32")
     F = make_residual_fn(cfg, params, key)
 
+    # K is a traced argument: a Python-int bound would let XLA unroll the
+    # chain into K copies of the Pallas map, multiplying Mosaic compile time
+    # past the compile-helper's limit.  One rolled program serves every K.
+    @jax.jit
+    def run_k(k):
+        def body(_, z):
+            f = F(z)
+            return z + 0.0 * f  # data dependence without drift
+        return jnp.sum(jax.lax.fori_loop(0, k, body, Z0))
+
     def make(K):
-        @jax.jit
-        def run():
-            def body(_, z):
-                f = F(z)
-                return z + 0.0 * f  # data dependence without drift
-            return jnp.sum(jax.lax.fori_loop(0, K, body, Z0))
-        return run
+        return lambda: run_k(jnp.int32(K))
 
     s_map = _slope(make, k_lo=1, k_hi=3, reps=2)
 
