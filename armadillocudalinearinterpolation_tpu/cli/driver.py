@@ -84,9 +84,13 @@ def main(argv=None) -> int:
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()  # one-time Mosaic compiles per machine
+
     from .. import (ModelConfig, MapParams, NewtonConfig, newton_solve,
                     make_residual_fn, event_driven_map, ProblemType,
                     compute_eigenvalues)
+    from ..solvers.newton import live_log_supported, print_iteration_table
     from ..analysis.stability import count_unstable
     from ..utils.checkpoint import ContinuationCheckpoint, ContinuationStep
     from ..utils.debug import dump_map_stages
@@ -144,6 +148,11 @@ def main(argv=None) -> int:
         res = solve(params, key, Z)
         sol = np.asarray(res.solution)
         ok = bool(res.converged)
+        if not args.quiet and not live_log_supported():
+            # Backends without host callbacks (the TPU tunnel) can't print
+            # mid-solve; replay the iteration table in the reference format
+            # (AbstractNonlinearSolver.cpp:11-95) from the recorded history.
+            print_iteration_table(res, ncfg)
         print(f"step {i}: beta={beta:.4f} converged={ok} "
               f"iters={int(res.iterations)} |r|={float(res.residual_norm):.3e} "
               f"Z={np.array2string(sol, precision=5)}")

@@ -72,6 +72,7 @@ def select_pallas_evolve(cfg: ModelConfig, evolve_backend: str) -> bool:
         evolve_backend == "auto"
         and cfg.dtype == "float32"
         and cfg.n_neurons % 128 == 0
+        and 5 * cfg.n_spikes + 2 <= 128  # packed-row limit of the kernel
         and jax.default_backend() == "tpu")
 
 

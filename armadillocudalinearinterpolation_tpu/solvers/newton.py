@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import NewtonConfig
 from .criterion import Criterion, residual_norm_criterion
+from .linalg import solve_dense
 
 
 class NewtonResult(NamedTuple):
@@ -99,6 +100,33 @@ def _print_footer(iterations, converged):
     print(f"The method {verb} after {int(iterations)} iterations")
 
 
+def live_log_supported() -> bool:
+    """Whether the active backend can run host callbacks mid-solve.
+
+    The axon TPU PJRT implements no host send/recv, so live per-iteration
+    logging (``AbstractNonlinearSolver.cpp:75-95``) is only possible on CPU;
+    every other backend gets the post-solve replay
+    (:func:`print_iteration_table`) instead.
+    """
+    return jax.default_backend() == "cpu"
+
+
+def print_iteration_table(result: "NewtonResult", cfg: NewtonConfig) -> None:
+    """Replay the solve's iteration log in the reference's table format.
+
+    Host-side replay of ``residual_history`` for backends without host
+    callbacks (``AbstractNonlinearSolver::PrintHeader/PrintIteration/
+    PrintFooter``, ``/root/reference/AbstractNonlinearSolver.cpp:11-95``).
+    Call after the solve's arrays have materialised.
+    """
+    import numpy as np
+    _print_header(cfg.max_iterations, cfg.tolerance)
+    hist = np.asarray(result.residual_history)
+    for it in range(int(result.iterations) + 1):
+        _print_iteration(it, hist[it])
+    _print_footer(result.iterations, result.converged)
+
+
 def newton_solve(
     F: Callable[[jax.Array], jax.Array],
     x0: jax.Array,
@@ -126,13 +154,11 @@ def newton_solve(
     n = x0.shape[0]
     dt_ = x0.dtype
 
-    # Iteration logging uses host callbacks, which the axon TPU PJRT does
-    # not implement — degrade to silent there (the residual history is
-    # always returned; the CLI prints its own per-step summary).
-    log = cfg.print_output and jax.default_backend() == "cpu"
-    if cfg.print_output and not log:
-        print("[newton] iteration log unavailable on this backend "
-              "(no host callbacks); see NewtonResult.residual_history")
+    # Live iteration logging needs host callbacks; backends without them
+    # (the axon TPU PJRT) get the reference-format table via a post-solve
+    # replay instead — call :func:`print_iteration_table` on the result
+    # (the CLI driver does this automatically).
+    log = cfg.print_output and live_log_supported()
 
     f0 = F(x0)
     norm0 = jnp.linalg.norm(f0)
@@ -165,7 +191,9 @@ def newton_solve(
             jac = central_fd_jacobian(F, c.x, cfg.fd_epsilon)
         else:
             jac = fd_jacobian(F, c.x, c.f, cfg.fd_epsilon)
-        direction = jnp.linalg.solve(jac, -c.f)
+        # solve_dense, not jnp.linalg.solve: XLA's LU custom-call is f32-only
+        # on TPU and would break the fully-f64 on-chip solve.
+        direction = solve_dense(jac, -c.f)
         x = c.x + jnp.asarray(cfg.damping, dt_) * direction
         f = F(x)
         norm = jnp.linalg.norm(f)

@@ -49,25 +49,45 @@ class ContinuationCheckpoint:
                  solution=step.solution,
                  eigenvalues=(step.eigenvalues
                               if step.eigenvalues is not None else np.array([])))
-        with open(self._index_file, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        # Crash-safe append: rewrite via temp file + atomic rename so a kill
+        # mid-write can never leave a truncated (unparseable) last line.
+        existing = ""
+        if self._index_file.exists():
+            existing = self._index_file.read_text()
+        tmp = self._index_file.with_suffix(".jsonl.tmp")
+        tmp.write_text(existing + json.dumps(rec) + "\n")
+        tmp.replace(self._index_file)
 
     def load_all(self) -> list[ContinuationStep]:
         if not self._index_file.exists():
             return []
-        steps = []
+        by_index: dict[int, dict] = {}
         with open(self._index_file) as f:
-            for line in f:
-                rec = json.loads(line)
-                data = np.load(self.path / f"step_{rec['index']:05d}.npz")
-                ev = data["eigenvalues"]
-                steps.append(ContinuationStep(
-                    index=rec["index"], beta=rec["beta"],
-                    solution=data["solution"],
-                    residual_norm=rec["residual_norm"],
-                    converged=rec["converged"],
-                    n_unstable=rec.get("n_unstable"),
-                    eigenvalues=ev if ev.size else None))
+            for lineno, line in enumerate(f):
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"corrupt checkpoint index {self._index_file} at line "
+                        f"{lineno + 1}: {e}") from e
+                # Re-running a sweep into the same directory appends a fresh
+                # record per index; the latest write wins (its .npz is the
+                # one on disk).
+                by_index[int(rec["index"])] = rec
+        steps = []
+        for index in sorted(by_index):
+            rec = by_index[index]
+            data = np.load(self.path / f"step_{index:05d}.npz")
+            ev = data["eigenvalues"]
+            steps.append(ContinuationStep(
+                index=index, beta=rec["beta"],
+                solution=data["solution"],
+                residual_norm=rec["residual_norm"],
+                converged=rec["converged"],
+                n_unstable=rec.get("n_unstable"),
+                eigenvalues=ev if ev.size else None))
         return steps
 
     def last(self) -> Optional[ContinuationStep]:

@@ -52,7 +52,13 @@ def chained_slope(make_run: Callable[[int], Callable[[], jax.Array]],
             float(f())
             ts.append(time.perf_counter() - t0)
         med[k] = float(stat(ts))
-    return max((med[k_hi] - med[k_lo]) / (k_hi - k_lo), 1e-9)
+    slope = (med[k_hi] - med[k_lo]) / (k_hi - k_lo)
+    if slope <= 0.0:
+        # Timing noise swamped the K-spread: med[k_hi] <= med[k_lo] is not a
+        # measurement, it's jitter.  Report NaN so callers (bench.py) surface
+        # an invalid run instead of an absurd throughput.
+        return float("nan")
+    return slope
 
 
 def device_time(step: Callable[[jax.Array], jax.Array], x0: jax.Array,

@@ -28,8 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from armadillocudalinearinterpolation_tpu.utils.cache import (
+    enable_compilation_cache)
 from armadillocudalinearinterpolation_tpu.utils.profiling import (
     chained_slope as _slope)
+
+# Persistent compile cache: the Pallas evolve kernel's first Mosaic compile
+# is minutes per shape; pay it once per machine, not per bench run.
+enable_compilation_cache()
 
 
 def bench_bilinear2d():

@@ -144,6 +144,9 @@ void initial_indices(const Params& p, const double* Z, std::vector<int>& ind) {
     int i = static_cast<int>(std::ceil((pos + p.half_width) / dx)) - 1;
     if (i < 0) i = 0;
     if (i > n - 1) i = n - 1;
+    // The reference scans downward FROM the previous spike's index, so
+    // ind[m] <= ind[m-1] always holds (matches lift.py initial_spike_indices).
+    if (i > ind[m - 1]) i = ind[m - 1];
     ind[m] = i;
   }
 }

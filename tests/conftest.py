@@ -22,6 +22,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from armadillocudalinearinterpolation_tpu import ModelConfig, MapParams  # noqa: E402
+from armadillocudalinearinterpolation_tpu.utils.cache import (  # noqa: E402
+    enable_compilation_cache)
+
+enable_compilation_cache()
 
 
 @pytest.fixture(scope="session")
