@@ -32,7 +32,7 @@ from .model.emap import (
     MapDiagnostics,
 )
 from .solvers.criterion import residual_norm_criterion
-from .solvers.newton import newton_solve, NewtonResult
+from .solvers.newton import newton_solve, newton_solve_host, NewtonResult
 from .analysis.stability import (
     ProblemType,
     compute_eigenvalues,
@@ -62,6 +62,7 @@ __all__ = [
     "MapDiagnostics",
     "residual_norm_criterion",
     "newton_solve",
+    "newton_solve_host",
     "NewtonResult",
     "ProblemType",
     "compute_eigenvalues",

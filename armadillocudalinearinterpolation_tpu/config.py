@@ -42,6 +42,12 @@ class ModelConfig:
       max_events: hard bound on event-loop trip count used only by the
         fori-variant of evolve; the while-variant bounds by ``2*t_horizon``
         exactly like ``EventDrivenMap.cu:601``.
+      evolve_window: Pallas evolve-kernel performance knob — lanes of the
+        per-event root-find window around the wave packet (0 = evaluate all
+        lanes, the reference's behavior).  Must be a multiple of 128 and
+        < n_neurons.  Results are certified exact per event (closed-form
+        lower bound on out-of-window crossing times, with full-evaluation
+        fallback), so this changes wall-clock, not physics.
       dtype: compute dtype ('float32' TPU fast path, 'float64' CPU oracle).
     """
 
@@ -60,6 +66,7 @@ class ModelConfig:
     root_tol: float = 1e-6
     counter_max: int = 50
     max_events: int = 4096
+    evolve_window: int = 0
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -72,6 +79,10 @@ class ModelConfig:
             # ignore a nonzero setting.
             raise ValueError("vr != 0 is not supported: the reset is "
                              "multiplicative (v=0), as in the reference")
+        if self.evolve_window and (self.evolve_window % 128
+                                   or not 0 < self.evolve_window < self.n_neurons):
+            raise ValueError("evolve_window must be a multiple of 128 in "
+                             f"(0, n_neurons); got {self.evolve_window}")
         if self.n_neurons < 256:
             import warnings
             warnings.warn(
@@ -126,4 +137,7 @@ class NewtonConfig:
     fd_epsilon: float = 1e-2
     damping: float = 1.0
     print_output: bool = False
-    fd_mode: str = "forward"   # "forward" (reference) | "central" (O(eps^2))
+    # Jacobian mode: "forward" FD (reference), "central" FD (O(eps^2)), or
+    # "exact" (forward-mode autodiff through the map with an implicit-
+    # function-theorem JVP at the event-time root; XLA evolve backend only).
+    fd_mode: str = "forward"

@@ -18,6 +18,8 @@ whole realisation's neurons share one bounded Newton loop.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -54,6 +56,7 @@ def fire_decision(v0, s0, beta, cfg: ModelConfig):
     return v0 > rhs
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3,))
 def event_time(v0, s0, beta, cfg: ModelConfig):
     """Next firing time per neuron, with no-fire sentinel.
 
@@ -89,3 +92,47 @@ def event_time(v0, s0, beta, cfg: ModelConfig):
 
     t, _, _ = jax.lax.while_loop(cond, body, (t0, f0, jnp.int32(0)))
     return jnp.abs(t) + 100.0 * (1.0 - decision.astype(dt_))
+
+
+@event_time.defjvp
+def _event_time_jvp(cfg: ModelConfig, primals, tangents):
+    """Exact tangent of the event time via the implicit function theorem.
+
+    The root ``t*`` of ``f(t*, v0, s0, beta) = 0`` satisfies
+
+        dt*/dθ = -(∂f/∂θ) / (∂f/∂t)   at t = t*,
+
+    so the tangent never differentiates *through* the Newton iteration — it is
+    exact at the converged root (to ``O(root_tol)``), independent of the inner
+    iteration count, and removes the finite-difference Jacobian's dominant
+    noise source (VERDICT.md round 1, next-round item #1a).  The ``beta``
+    partial makes ``∂F/∂beta`` available for pseudo-arclength continuation.
+
+    Non-firing lanes return the constant sentinel ``100`` — zero tangent
+    (the fire/no-fire ``decision`` is a discrete branch; within a smooth piece
+    its derivative is zero, matching the map's piecewise structure).
+    """
+    v0, s0, beta = primals
+    dv0, ds0, dbeta = tangents
+    tau = event_time(v0, s0, beta, cfg)
+    dt_ = jnp.result_type(v0, s0)
+    decision = fire_decision(v0, s0, beta, cfg)
+    # Recover the signed root for firers (the primal returns |t|; Newton's
+    # root is the first up-crossing, t >= 0 in exact arithmetic, so |t| = t
+    # on the smooth branch — use tau directly, masked to firers).
+    t = jnp.where(decision, tau, jnp.zeros_like(tau))
+
+    u = 1.0 - beta
+    emt = jnp.exp(-t)
+    ebt = jnp.exp(u * t)
+    g = (ebt - 1.0) / u
+    f_t = (cfg.drive * emt - v0 * emt + s0 * emt * ebt
+           + (s0 * emt * (ebt - 1.0)) / (beta - 1.0))
+    f_v = emt
+    f_s = emt * g
+    # d/dbeta [(e^{ut}-1)/u] with u = 1-beta:  ((e^{ut}-1) - t u e^{ut}) / u^2
+    f_b = s0 * emt * ((ebt - 1.0) - t * u * ebt) / (u * u)
+
+    dtan = -(f_v * dv0 + f_s * ds0 + f_b * dbeta) / f_t
+    out_tan = jnp.where(decision, dtan, jnp.zeros_like(dtan)).astype(dt_)
+    return tau, out_tan

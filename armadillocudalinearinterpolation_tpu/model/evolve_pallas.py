@@ -88,6 +88,12 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         """Lane-reduce min and broadcast back to (R, width)."""
         return jnp.broadcast_to(jnp.min(x, axis=1, keepdims=True), (R, width))
 
+    def b2f(pred):
+        """bool -> f32 via select: Mosaic's bool convert helper recurses
+        infinitely under jax_enable_x64 (bool routes through the 64-bit
+        default int); a select never converts."""
+        return jnp.where(pred, jnp.float32(1.0), jnp.float32(0.0))
+
     def _f_df(tt, vv, ss, bb):
         """Membrane residual and derivative from ONE (e^-t, e^{(1-b)t}) pair.
 
@@ -113,13 +119,16 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         decision = vv > rhs
         t0 = jnp.zeros_like(vv)
         # at t = 0 both exponentials are 1: closed forms, no transcendentals
-        f0 = (vv - vth) * decision.astype(jnp.float32)
+        f0 = (vv - vth) * b2f(decision)
         df0 = drive - vv + ss
 
         def cond(c):
             tt, ff, dff, k = c
-            return jnp.logical_and(jnp.any(jnp.abs(ff) > tol),
-                                   k < cfg.counter_max)
+            # f32 max-reduction instead of jnp.any: Mosaic lowers a bool
+            # reduction through the default float dtype, which is f64 under
+            # jax_enable_x64 and unlowerable.
+            unconv = jnp.max(b2f(jnp.abs(ff) > tol)) > 0.5
+            return jnp.logical_and(unconv, k < cfg.counter_max)
 
         def body(c):
             tt, ff, dff, k = c
@@ -132,7 +141,7 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
 
         tt, _, _, _ = jax.lax.while_loop(cond, body, (t0, f0, df0,
                                                       jnp.int32(0)))
-        return jnp.abs(tt) + 100.0 * (1.0 - decision.astype(jnp.float32))
+        return jnp.abs(tt) + 100.0 * (1.0 - b2f(decision))
 
     def live_rows():
         book = out_ref[:]
@@ -143,7 +152,75 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         return jnp.logical_and(~all_crossed, t_row < 2.0 * T)   # (R, 1)
 
     def loop_cond(n_live):
-        return n_live > 0
+        return n_live > 0.5
+
+    def select_event_full(v, s, beta):
+        """Exact next-event over all N lanes: (dt, j) as (R, 1) columns."""
+        times = event_time(v, s, beta)                      # (R, N)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+        dtc = jnp.min(times, axis=1, keepdims=True)
+        jc = jnp.min(jnp.where(times == dtc, lane_i, N), axis=1,
+                     keepdims=True)                         # lowest-index min
+        return dtc, jc
+
+    W = int(cfg.evolve_window)
+    use_window = 0 < W < N
+    PAD_B = min(64, W // 4) if use_window else 0
+
+    def select_event_windowed(v, s, beta):
+        """Windowed next-event with an exact certificate.
+
+        The wave packet occupies a narrow index band (the spike trajectories
+        sit within ~0.5 space units of each other and only lanes reached by
+        recent synaptic kicks can fire soon), so the expensive per-lane
+        Newton root-find runs on a W-lane window around the packet instead of
+        all N lanes — the discrete-event optimisation VERDICT.md item #3 asks
+        for, which the reference does NOT have (it pays all-threads cost,
+        ``EventDrivenMap.cu:605-609``).
+
+        Exactness: for every out-of-window lane a closed-form lower bound on
+        its crossing time follows from the ODE comparison ``v' <= -v + I +
+        max(s,0)`` (synapses only decay between kicks):
+
+            t_lb = log((I + s+ - v) / (I + s+ - vth)),   +inf if I + s+ <= vth
+
+        If the windowed minimum dt <= min(t_lb) over out lanes, the windowed
+        event IS the global one; otherwise (rare: packet escaping the
+        window) the block falls back to the full evaluation for this event
+        via ``lax.cond`` — so results match the full kernel up to
+        window-boundary ties.  ``pltpu.roll`` makes the window cyclic, so
+        ring wrap-around needs no special casing.
+        """
+        book = out_ref[:]
+        last_cols = jnp.where(lane_o < M, book, jnp.float32(jnp.inf))
+        lo = jnp.min(last_cols)                 # trailing spike index (block)
+        l0 = jnp.mod(lo.astype(jnp.int32) - PAD_B, N)      # window start
+        shift = jnp.mod(N - l0, N)
+        vr = pltpu.roll(v, shift, 1)            # rolled[i] = orig[(i+l0)%N]
+        sr = pltpu.roll(s, shift, 1)
+        br = pltpu.roll(beta, shift, 1)
+
+        times_w = event_time(vr[:, :W], sr[:, :W], br[:, :W])
+        dt_w = jnp.min(times_w, axis=1, keepdims=True)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+        j_w = jnp.mod(
+            jnp.min(jnp.where(times_w == dt_w, lane_w, W), axis=1,
+                    keepdims=True) + l0, N)
+
+        # certificate over the out-of-window remainder (one log per lane)
+        vo = vr[:, W:]
+        cap = drive + jnp.maximum(sr[:, W:], 0.0)
+        denom = cap - vth
+        lb = jnp.where(denom > 0.0,
+                       jnp.log(jnp.maximum(cap - vo, 1e-30)
+                               / jnp.maximum(denom, 1e-30)),
+                       jnp.float32(1e9))
+        lb_row = jnp.min(lb, axis=1, keepdims=True)
+        viol = jnp.max(b2f(jnp.logical_and(live_rows(), dt_w > lb_row)))
+        return jax.lax.cond(viol < 0.5,
+                            lambda _: (dt_w, j_w),
+                            lambda _: select_event_full(v, s, beta),
+                            0)
 
     def loop_body(n_live):
         del n_live
@@ -153,16 +230,29 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         beta = beta_ref[:]
         live = jnp.broadcast_to(live_rows(), (R, N))
 
-        times = event_time(v, s, beta)                      # (R, N)
+        if use_window:
+            dt_col, j_col = select_event_windowed(v, s, beta)
+        else:
+            dt_col, j_col = select_event_full(v, s, beta)
+        dt = jnp.broadcast_to(dt_col, (R, N))               # row-const
+        j = jnp.broadcast_to(j_col, (R, N))
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
-        dt = bmin(times, N)                                 # row-const
-        j = bmin(jnp.where(times == dt, lane_i, N), N)      # lowest-index min
 
-        # analytic advance + reset of the firing site (:612-617)
-        emt = jnp.exp(-dt)
+        # analytic advance + reset of the firing site (:612-617).
+        # e^{-dt} is row-constant: one exp per row column, broadcast wide;
+        # e^{(1-beta)dt} = e^{dt} * e^{-beta dt} shares the per-lane exp
+        # with the synapse decay — 1 per-lane exp instead of 3.
+        edt_col = jnp.exp(-dt_col)                          # (R, 1)
+        emt = jnp.broadcast_to(edt_col, (R, N))
+        # guard: a no-fire row's sentinel dt (~100) underflows e^{-dt} to 0;
+        # e^{(1-beta)dt} -> 0 there (beta > 1), so pin the reciprocal to 0
+        # instead of inf (the row dies at t > 2T on this same event).
+        edtp_col = jnp.where(edt_col > 0.0, 1.0 / edt_col, 0.0)
+        edtp = jnp.broadcast_to(edtp_col, (R, N))           # e^{+dt}
+        ebdt = jnp.exp(-beta * dt)                          # per-lane
+        e1mb = edtp * ebdt                                  # e^{(1-beta)dt}
         v_new = (v * emt + drive * (1.0 - emt)
-                 + s * emt / (1.0 - beta)
-                 * (jnp.exp((1.0 - beta) * dt) - 1.0))
+                 + s * emt / (1.0 - beta) * (e1mb - 1.0))
         v_new = jnp.where(lane_i == j, 0.0, v_new)
         # ring coupling kick recomputed analytically (see coupling.py)
         d = jnp.abs(lane_i - j)
@@ -170,7 +260,7 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         wrow = (jnp.float32(cfg.a1) * jnp.exp(jnp.float32(-cfg.b1) * dist)
                 - jnp.float32(cfg.a2) * jnp.exp(jnp.float32(-cfg.b2) * dist)
                 ) * dx
-        s_new = s * jnp.exp(-beta * dt) + beta * wrow
+        s_new = s * ebdt + beta * wrow
         t_new = t + dt
 
         v_s[:] = jnp.where(live, v_new, v)
@@ -216,9 +306,11 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
                              new_book)
         out_ref[:] = new_book
 
-        return jnp.sum(live_rows().astype(jnp.int32))
+        # f32 count, not integer: under jax_enable_x64 an integer sum builds
+        # an int64 accumulator, which Mosaic cannot lower.
+        return jnp.sum(b2f(live_rows()))
 
-    n0 = jnp.sum(live_rows().astype(jnp.int32))
+    n0 = jnp.sum(b2f(live_rows()))
     jax.lax.while_loop(loop_cond, loop_body, n0)
 
     # finalize accept = all crossed flags set
@@ -226,8 +318,7 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
     flags = jnp.where((lane_o >= 4 * M + 2) & (lane_o < 5 * M + 2), book, 1.0)
     accept = jnp.min(flags, axis=1, keepdims=True) > 0.5
     out_ref[:] = jnp.where(lane_o == 4 * M,
-                           jnp.broadcast_to(accept.astype(jnp.float32),
-                                            (R, _LANE)),
+                           jnp.broadcast_to(b2f(accept), (R, _LANE)),
                            book)
 
 
@@ -266,7 +357,33 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
     book0 = jnp.where((lane >= 3 * M) & (lane < 4 * M),
                       jnp.float32(2.0 * cfg.t_horizon), ind_f)
 
-    packed = pl.pallas_call(
+    # Trace the kernel with x64 promotion semantics OFF: under
+    # jax_enable_x64 a handful of Python-literal promotions inside the
+    # kernel body become int64/f64 ops, which Mosaic cannot lower (its
+    # 64->32-bit convert helper recurses).  Every kernel input is f32/int32,
+    # so 32-bit trace semantics are exact.
+    from jax._src.config import enable_x64 as _enable_x64
+    with _enable_x64(False):
+        packed = _call_kernel(cfg, r_block, n_blocks, Rp,
+                              v0.astype(jnp.float32)[None, :],
+                              s0.astype(jnp.float32)[None, :],
+                              beta32, book0[None, :])
+
+    packed = packed[:R]
+    last_ind = packed[:, 0:M].astype(jnp.int32)
+    last_t = packed[:, M:2 * M]
+    crossed_ind = packed[:, 2 * M:3 * M].astype(jnp.int32)
+    crossed_t = packed[:, 3 * M:4 * M]
+    accept = packed[:, 4 * M] > 0.5
+    n_events = packed[:, 4 * M + 1].astype(jnp.int32)
+    return EvolveResult(last_ind=last_ind, last_time=last_t,
+                        crossed_ind=crossed_ind, crossed_time=crossed_t,
+                        accept=accept, n_events=n_events)
+
+
+def _call_kernel(cfg, r_block, n_blocks, Rp, v0, s0, beta32, book0):
+    M = cfg.n_spikes
+    return pl.pallas_call(
         functools.partial(_evolve_kernel, cfg, r_block),
         out_shape=jax.ShapeDtypeStruct((Rp, _LANE), jnp.float32),
         grid=(n_blocks,),
@@ -287,16 +404,4 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
             pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
             pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
         ],
-    )(v0.astype(jnp.float32)[None, :], s0.astype(jnp.float32)[None, :],
-      beta32, book0[None, :])
-
-    packed = packed[:R]
-    last_ind = packed[:, 0:M].astype(jnp.int32)
-    last_t = packed[:, M:2 * M]
-    crossed_ind = packed[:, 2 * M:3 * M].astype(jnp.int32)
-    crossed_t = packed[:, 3 * M:4 * M]
-    accept = packed[:, 4 * M] > 0.5
-    n_events = packed[:, 4 * M + 1].astype(jnp.int32)
-    return EvolveResult(last_ind=last_ind, last_time=last_t,
-                        crossed_ind=crossed_ind, crossed_time=crossed_t,
-                        accept=accept, n_events=n_events)
+    )(v0, s0, beta32, book0)

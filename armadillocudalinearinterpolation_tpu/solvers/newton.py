@@ -187,6 +187,13 @@ def newton_solve(
     def body(c: Carry) -> Carry:
         if jacobian_fn is not None:
             jac = jacobian_fn(c.x)
+        elif cfg.fd_mode == "exact":
+            # Exact forward-mode Jacobian: jacfwd flows n tangents through
+            # the whole map in ONE evaluation (the event-time root carries
+            # an implicit-function-theorem custom JVP, events.py).  No FD
+            # epsilon, no differencing noise; requires the XLA evolve
+            # backend (the Pallas kernel defines no JVP).
+            jac = jax.jacfwd(F)(c.x)
         elif cfg.fd_mode == "central":
             jac = central_fd_jacobian(F, c.x, cfg.fd_epsilon)
         else:
@@ -212,3 +219,92 @@ def newton_solve(
                         iterations=out.it, residual_norm=out.norm,
                         residual_history=out.history, jacobian=out.jacobian,
                         residual=out.f)
+
+
+def newton_solve_host(
+    F: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    cfg: NewtonConfig,
+    *,
+    jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    criterion: Optional[Criterion] = None,
+    serial_fd: bool = False,
+) -> NewtonResult:
+    """Host-driven Newton: same semantics as :func:`newton_solve`, but the
+    outer loop runs in Python with one short device program per step.
+
+    Two reasons to prefer this on the tunneled TPU:
+
+      * **Bounded program duration.**  A fully-fused f64 solve at N=4096 is a
+        single >10-minute device program, which the TPU worker behind the
+        tunnel kills (observed crash).  Here no dispatch outlives one map
+        evaluation (``serial_fd=True``) or one batched Jacobian.
+      * **Live iteration logging on every backend** — the reference's
+        per-iteration table (``AbstractNonlinearSolver.cpp:75-95``) prints in
+        real time even where host callbacks are unimplemented, because the
+        loop IS on the host.
+
+    Args:
+      serial_fd: evaluate finite-difference Jacobian columns as separate
+        dispatches (n+1 short programs) instead of one ``vmap`` batch —
+        trades throughput for the shortest possible device programs.
+    """
+    test = criterion if criterion is not None else residual_norm_criterion(
+        cfg.tolerance)
+    n = x0.shape[0]
+    dt_ = x0.dtype
+    Fj = jax.jit(F)
+    eps = cfg.fd_epsilon
+
+    if cfg.print_output:
+        _print_header(cfg.max_iterations, cfg.tolerance)
+
+    x = x0
+    f = Fj(x)
+    norm = jnp.linalg.norm(f)
+    history = [float(norm)]
+    if cfg.print_output:
+        _print_iteration(0, norm)
+    converged = bool(test(norm))
+    jac = jnp.eye(n, dtype=dt_)
+    it = 0
+
+    while it < cfg.max_iterations and not converged:
+        if jacobian_fn is not None:
+            jac = jacobian_fn(x)
+        elif cfg.fd_mode == "exact":
+            jac = jax.jit(jax.jacfwd(Fj))(x)
+        elif serial_fd:
+            cols = []
+            basis = jnp.eye(n, dtype=dt_)
+            if cfg.fd_mode == "central":
+                for i in range(n):
+                    fp = Fj(x + eps * basis[i])
+                    fm = Fj(x - eps * basis[i])
+                    cols.append((fp - fm) / (2.0 * eps))
+            else:
+                for i in range(n):
+                    cols.append((Fj(x + eps * basis[i]) - f) / eps)
+            jac = jnp.stack(cols, axis=1)
+        elif cfg.fd_mode == "central":
+            jac = central_fd_jacobian(Fj, x, eps)
+        else:
+            jac = fd_jacobian(Fj, x, f, eps)
+        direction = solve_dense(jac, -f)
+        x = x + jnp.asarray(cfg.damping, dt_) * direction
+        f = Fj(x)
+        norm = jnp.linalg.norm(f)
+        it += 1
+        history.append(float(norm))
+        if cfg.print_output:
+            _print_iteration(it, norm)
+        converged = bool(test(norm))
+
+    if cfg.print_output:
+        _print_footer(it, converged)
+
+    hist = jnp.full((cfg.max_iterations + 1,), jnp.nan, dt_)
+    hist = hist.at[:len(history)].set(jnp.asarray(history, dt_))
+    return NewtonResult(solution=x, converged=jnp.asarray(converged),
+                        iterations=jnp.int32(it), residual_norm=norm,
+                        residual_history=hist, jacobian=jac, residual=f)
