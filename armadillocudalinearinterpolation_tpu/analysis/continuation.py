@@ -1,0 +1,147 @@
+"""Pseudo-arclength continuation of map fixed points (beyond the reference).
+
+The reference's production loop (commented out, ``/root/reference/Driver.cu:86-114``)
+steps ``beta`` naively (``beta += 0.1``) and therefore cannot pass folds —
+round-1 artifacts show the natural-parameter sweep dying at the branch ends
+(``beta ~ 19.3`` and ``~ 3.1``, see ``artifacts/README.md``).  Pseudo-arclength
+embeds the parameter into the unknowns, ``y = (Z, beta)``, and solves
+
+    F(Z; beta) = 0                       (n equations)
+    <y - y_prev, tangent> - ds = 0       (arclength normalisation)
+
+so the solver walks the branch *through* folds, where ``dZ/dbeta`` blows up
+but ``dy/ds`` stays finite.  The Jacobian of the extended system is exact:
+``jax.jacfwd`` flows through the whole event loop, and ``∂F/∂beta`` comes
+from the same implicit-function-theorem JVP as ``∂F/∂Z``
+(:func:`..model.events.event_time`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, MapParams, NewtonConfig
+from ..model.emap import event_driven_map
+from ..solvers.newton import newton_solve, NewtonResult
+
+
+class ArcStep(NamedTuple):
+    """One converged point on the branch."""
+
+    y: jax.Array              # (n + 1,): (Z..., beta)
+    tangent: jax.Array        # (n + 1,) unit tangent used for the next step
+    converged: jax.Array
+    iterations: jax.Array
+    residual_norm: jax.Array
+
+
+def make_extended_residual(cfg: ModelConfig, key: jax.Array, sigma,
+                           *, evolve_backend: str = "auto"
+                           ) -> Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]:
+    """Residual of the bordered system ``G(y) = (F(Z; beta), arc(y))``."""
+    dt_ = cfg.jdtype
+    sigma = jnp.asarray(sigma, dt_)
+
+    def G(y: jax.Array, y_prev: jax.Array, tangent: jax.Array,
+          ds: jax.Array) -> jax.Array:
+        Z, beta = y[:-1], y[-1]
+        params = MapParams(beta=beta.astype(dt_), sigma=sigma)
+        f = event_driven_map(cfg, params, key, Z,
+                             evolve_backend=evolve_backend)
+        arc = jnp.dot(y - y_prev, tangent) - ds
+        return jnp.concatenate([f, arc[None].astype(f.dtype)])
+
+    return G
+
+
+def arclength_step(G, y_prev: jax.Array, tangent: jax.Array, ds,
+                   ncfg: NewtonConfig) -> NewtonResult:
+    """One predictor-corrector step: Euler predictor + Newton corrector.
+
+    ``ncfg.fd_mode='exact'`` is the natural choice (the bordered Jacobian
+    ``[dF/dZ  dF/dbeta; tangent^T]`` comes out of one jacfwd evaluation);
+    finite differences work too.
+    """
+    ds = jnp.asarray(ds, y_prev.dtype)
+    y0 = y_prev + ds * tangent
+
+    def ext(y):
+        return G(y, y_prev, tangent, ds)
+
+    return newton_solve(ext, y0, ncfg)
+
+
+def initial_tangent(n: int, direction: float = 1.0, dtype=jnp.float64
+                    ) -> jax.Array:
+    """Start along the parameter axis (the naive sweep's direction)."""
+    t = jnp.zeros((n + 1,), dtype).at[-1].set(direction)
+    return t
+
+
+def next_tangent(y_new: jax.Array, y_prev: jax.Array, old_tangent: jax.Array
+                 ) -> jax.Array:
+    """Secant tangent, oriented to keep walking the same way."""
+    d = y_new - y_prev
+    t = d / jnp.linalg.norm(d)
+    return jnp.where(jnp.dot(t, old_tangent) < 0, -t, t)
+
+
+def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
+                    sigma=0.0, ds: float = 0.1, n_steps: int = 100,
+                    direction: float = 1.0,
+                    ncfg: Optional[NewtonConfig] = None,
+                    evolve_backend: str = "auto",
+                    min_ds: float = 1e-4, max_ds: float = 0.5,
+                    grow: float = 1.3, shrink: float = 0.5,
+                    callback=None) -> list[ArcStep]:
+    """Walk a solution branch with adaptive pseudo-arclength steps.
+
+    Starts from a converged point ``(Z0, beta0)`` and returns the list of
+    accepted :class:`ArcStep`.  The step size halves on a failed corrector
+    (and retries) and grows after fast convergence, so folds — where the
+    corrector works hardest — are traversed with small steps and straight
+    stretches go fast.
+
+    Args:
+      callback: optional ``f(step_index, ArcStep)`` called per accepted point
+        (the CLI uses this for logging/checkpointing).
+    """
+    dt_ = cfg.jdtype
+    if ncfg is None:
+        ncfg = NewtonConfig(tolerance=1e-9, max_iterations=12,
+                            fd_mode="exact")
+    G = jax.jit(make_extended_residual(cfg, key, sigma,
+                                       evolve_backend=evolve_backend))
+    step_jit = jax.jit(lambda y_prev, tangent, ds_: arclength_step(
+        G, y_prev, tangent, ds_, ncfg))
+
+    y = jnp.concatenate([jnp.asarray(Z0, dt_),
+                         jnp.asarray(beta0, dt_)[None]])
+    tangent = initial_tangent(y.shape[0] - 1, direction, dt_)
+    out: list[ArcStep] = []
+    cur_ds = float(ds)
+
+    for i in range(n_steps):
+        while True:
+            res = step_jit(y, tangent, jnp.asarray(cur_ds, dt_))
+            ok = bool(res.converged) and bool(
+                jnp.all(jnp.isfinite(res.solution)))
+            if ok or cur_ds <= min_ds:
+                break
+            cur_ds = max(min_ds, cur_ds * shrink)
+        if not ok:
+            break  # branch end / solver failure even at min step
+        tangent = next_tangent(res.solution, y, tangent)
+        y = res.solution
+        step = ArcStep(y=y, tangent=tangent, converged=res.converged,
+                       iterations=res.iterations,
+                       residual_norm=res.residual_norm)
+        out.append(step)
+        if callback is not None:
+            callback(i, step)
+        if int(res.iterations) <= 3:
+            cur_ds = min(max_ds, cur_ds * grow)
+    return out

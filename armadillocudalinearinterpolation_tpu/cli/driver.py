@@ -48,12 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-4)
     p.add_argument("--max-iter", type=int, default=10)
     p.add_argument("--fd-eps", type=float, default=1e-2)
-    p.add_argument("--fd-mode", choices=["forward", "central"],
+    p.add_argument("--fd-mode", choices=["forward", "central", "exact"],
                    default="forward",
-                   help="Jacobian differencing. central is O(eps^2) and "
-                        "reaches a ~15x deeper fp32 floor on fine grids "
-                        "(N >= 2048), but the map's O(dx) staircase "
-                        "discontinuities can defeat it on coarse grids")
+                   help="Jacobian mode. central FD is O(eps^2); exact uses "
+                        "forward-mode autodiff through the whole map "
+                        "(implicit-function JVP at the event-time root; "
+                        "needs the XLA evolve backend)")
     p.add_argument("--evolve-backend", choices=["auto", "xla", "pallas"],
                    default="auto",
                    help="event-loop backend (auto picks the Pallas kernel "
@@ -73,6 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump every map stage to this directory (.npy)")
     p.add_argument("--stability", action="store_true",
                    help="eigenvalue analysis at each converged point")
+    # pseudo-arclength mode (beyond the reference: rounds folds the naive
+    # beta-stepping loop at Driver.cu:86-114 dies at)
+    p.add_argument("--arclength", action="store_true",
+                   help="pseudo-arclength continuation in (Z, beta) instead "
+                        "of naive beta stepping; tracks branches through "
+                        "folds")
+    p.add_argument("--ds", type=float, default=0.1,
+                   help="initial arclength step (adaptive)")
+    p.add_argument("--direction", type=float, default=1.0,
+                   help="+1: start toward increasing beta; -1: decreasing")
     return p
 
 
@@ -139,6 +149,9 @@ def main(argv=None) -> int:
         dump_map_stages(cfg, params, key, Z, args.debug_dump)
         print(f"stage dumps written to {args.debug_dump}/")
 
+    if args.arclength:
+        return run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start)
+
     solve = jax.jit(lambda p, k, z: newton_solve(
         make_residual_fn(cfg, p, k, evolve_backend=args.evolve_backend),
         z, ncfg))
@@ -190,6 +203,51 @@ def main(argv=None) -> int:
         Z = res.solution
         key, _ = jax.random.split(key)
 
+    return 0
+
+
+def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
+    """Pseudo-arclength branch walk (``--arclength``)."""
+    from ..analysis.continuation import continue_branch
+    from ..utils.checkpoint import ContinuationStep
+    from .. import make_residual_fn, MapParams, ProblemType, compute_eigenvalues
+    from ..analysis.stability import count_unstable
+
+    # exact bordered Jacobians need the differentiable XLA evolve path;
+    # finite-difference modes may keep the Pallas backend
+    backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
+
+    def on_step(i, step):
+        b = float(step.y[-1])
+        sol = np.asarray(step.y[:-1])
+        print(f"arc step {start + i}: beta={b:.4f} "
+              f"iters={int(step.iterations)} "
+              f"|r|={float(step.residual_norm):.3e} "
+              f"Z={np.array2string(sol, precision=5)}")
+        n_unstable = None
+        eigenvalues = None
+        if args.stability:
+            params = MapParams.create(b, args.sigma, dtype=args.dtype)
+            ev = compute_eigenvalues(
+                make_residual_fn(cfg, params, key), step.y[:-1],
+                ProblemType.EQUATION_FREE, epsilon=args.fd_eps)
+            eigenvalues = np.asarray(ev)
+            n_unstable = int(count_unstable(ev, ProblemType.EQUATION_FREE))
+            print(f"  -> {'unstable' if n_unstable else 'stable'} "
+                  f"({n_unstable} unstable)")
+        if ckpt is not None:
+            ckpt.save(ContinuationStep(
+                index=start + i, beta=b, solution=sol,
+                residual_norm=float(step.residual_norm),
+                converged=bool(step.converged), n_unstable=n_unstable,
+                eigenvalues=eigenvalues))
+
+    steps = continue_branch(
+        cfg, key, Z, beta, sigma=args.sigma, ds=args.ds,
+        n_steps=args.steps, direction=args.direction, ncfg=ncfg,
+        evolve_backend=backend, callback=on_step)
+    print(f"arclength: {len(steps)} accepted steps"
+          + ("" if len(steps) == args.steps else " (branch end reached)"))
     return 0
 
 

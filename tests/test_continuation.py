@@ -1,0 +1,78 @@
+"""Pseudo-arclength continuation: bordered system, tangents, branch walk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armadillocudalinearinterpolation_tpu import ModelConfig, NewtonConfig
+from armadillocudalinearinterpolation_tpu.analysis.continuation import (
+    continue_branch, initial_tangent, next_tangent, make_extended_residual,
+    arclength_step)
+
+
+def test_initial_and_next_tangent():
+    t0 = initial_tangent(3, 1.0)
+    assert t0.shape == (4,)
+    np.testing.assert_allclose(np.asarray(t0), [0, 0, 0, 1])
+    # secant keeps orientation
+    y0 = jnp.zeros(4)
+    y1 = jnp.array([0.0, 0.0, 0.0, -0.5])
+    t1 = next_tangent(y1, y0, t0)
+    assert float(jnp.dot(t1, t0)) > 0  # flipped to keep walking the same way
+    np.testing.assert_allclose(float(jnp.linalg.norm(t1)), 1.0, rtol=1e-12)
+
+
+def test_extended_residual_has_arc_row(cfg, key, z_ref):
+    G = make_extended_residual(cfg, key, 0.0)
+    y = jnp.concatenate([z_ref, jnp.asarray(13.0589)[None]])
+    t = initial_tangent(3, 1.0)
+    g = G(y, y, t, jnp.asarray(0.0))
+    assert g.shape == (4,)
+    # at ds=0 and y=y_prev the arc row vanishes identically
+    assert float(g[-1]) == 0.0
+
+
+def test_arclength_walks_branch(cfg, key):
+    """A few steps along the known branch: beta increases, points converge,
+    and the wave speed grows with beta (matches the natural-sweep artifact)."""
+    Z0 = jnp.array([0.32623663, 0.71936722, 1.36899475], jnp.float64)
+    steps = continue_branch(cfg, key, Z0, 13.0589, ds=0.3, n_steps=3)
+    assert len(steps) == 3
+    betas = [float(s.y[-1]) for s in steps]
+    assert betas[0] > 13.0589 and betas == sorted(betas)
+    assert all(float(s.residual_norm) < 1e-8 for s in steps)
+    cs = [float(s.y[0]) for s in steps]
+    assert cs == sorted(cs)  # dc/dbeta > 0 on this stretch
+
+
+def test_arclength_step_rejects_then_shrinks(cfg, key):
+    """An absurd step size fails the corrector; continue_branch must retry
+    with a smaller ds rather than emit an unconverged point."""
+    Z0 = jnp.array([0.32623663, 0.71936722, 1.36899475], jnp.float64)
+    steps = continue_branch(cfg, key, Z0, 13.0589, ds=50.0, n_steps=1,
+                            ncfg=NewtonConfig(tolerance=1e-9,
+                                              max_iterations=6,
+                                              fd_mode="exact"))
+    # either it converged after shrinking, or gave up cleanly — never a
+    # non-finite / unconverged accepted step
+    for s in steps:
+        assert bool(s.converged)
+        assert np.isfinite(np.asarray(s.y)).all()
+
+
+def test_cli_arclength(capsys, tmp_path):
+    from armadillocudalinearinterpolation_tpu.cli.driver import main
+    rc = main(["--neurons", "512", "--realisations", "4",
+               "--dtype", "float64", "--cpu", "--quiet",
+               "--guess", "0.32623663", "0.71936722", "1.36899475",
+               "--arclength", "--ds", "0.3", "--steps", "2",
+               "--fd-mode", "exact", "--tol", "1e-9",
+               "--checkpoint", str(tmp_path / "arc")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "arc step 0" in out and "arc step 1" in out
+    from armadillocudalinearinterpolation_tpu.utils.checkpoint import (
+        ContinuationCheckpoint)
+    steps = ContinuationCheckpoint(tmp_path / "arc").load_all()
+    assert len(steps) == 2 and steps[-1].beta > 13.0589

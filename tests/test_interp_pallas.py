@@ -42,8 +42,19 @@ def test_lerp1d_table_sizes():
 
 
 def test_lerp1d_rejects_oversized_table():
+    # tables up to 64k nodes are supported (rolled chunk sweep); beyond that
+    # the kernel still refuses rather than silently spilling VMEM
     with pytest.raises(ValueError, match="table too large"):
-        interp_pallas.lerp1d(jnp.zeros(8), jnp.zeros(5000), 0.0, 1.0)
+        interp_pallas.lerp1d(jnp.zeros(8), jnp.zeros(interp_pallas.MAX_TABLE + 1),
+                             0.0, 1.0)
+
+
+def test_make_interp1d_rejects_bad_nodes():
+    with pytest.raises(ValueError, match="strictly increasing"):
+        interp_pallas.make_interp1d(jnp.array([0.0, 2.0, 1.0]),
+                                    jnp.zeros(3))
+    with pytest.raises(ValueError, match="at least 2"):
+        interp_pallas.make_interp1d(jnp.array([0.0]), jnp.zeros(1))
 
 
 def test_bilinear_matches_reference_bf16x2():
@@ -79,3 +90,46 @@ def test_bilinear_unaligned_grid_auto_padded():
     got = interp_pallas.bilinear_batched(pts, grids)
     want = interp.bilinear_batched(pts, grids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_lerp1d_large_table_rolled_sweep():
+    # > _UNROLL_CHUNKS chunks exercises the fori_loop chunk sweep
+    n = 8192
+    fp = jnp.cos(jnp.linspace(0, 20, n, dtype=jnp.float32))
+    xq = jax.random.uniform(jax.random.PRNGKey(11), (513,), jnp.float32,
+                            -1.0, 21.0)
+    got = interp_pallas.lerp1d(xq, fp, 0.0, 20.0 / (n - 1))
+    want = interp.lerp_uniform(xq, fp, 0.0, 20.0 / (n - 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interp1d_nonuniform_matches_reference():
+    key = jax.random.PRNGKey(12)
+    n = 700
+    gaps = 0.05 + jax.random.uniform(key, (n - 1,), jnp.float32)
+    xp = jnp.concatenate([jnp.zeros(1), jnp.cumsum(gaps)])
+    fp = jnp.sin(0.3 * xp) + 0.1 * xp
+    xq = jax.random.uniform(jax.random.PRNGKey(13), (1025,), jnp.float32,
+                            -2.0, float(xp[-1]) + 2.0)  # incl. extrapolation
+    got = interp_pallas.interp1d(xq, xp, fp)
+    want = interp.interp1d(xq, xp, fp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_interp1d_nonuniform_dense_cluster():
+    # pathologically dense cluster -> large max-span S; must stay exact.
+    # Compare at f32 (the kernel's precision): under the conftest's x64 an
+    # f64 reference differs by ~ulp(x)/gap in t, which the 1e-4-wide cluster
+    # amplifies to ~1e-3 in value — a precision mismatch, not a kernel bug.
+    xp = jnp.concatenate([jnp.linspace(0.0, 1.0, 50),
+                          1.0 + jnp.linspace(1e-4, 2e-2, 100),
+                          jnp.linspace(1.1, 10.0, 30)]).astype(jnp.float32)
+    fp = jnp.asarray(np.random.default_rng(0).standard_normal(xp.shape[0]),
+                     jnp.float32)
+    xq = jax.random.uniform(jax.random.PRNGKey(14), (777,), jnp.float32,
+                            0.9, 1.2)
+    got = interp_pallas.interp1d(xq, xp, fp)
+    want = interp.interp1d(xq, xp, fp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
