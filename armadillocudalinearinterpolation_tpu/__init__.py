@@ -32,7 +32,8 @@ from .model.emap import (
     MapDiagnostics,
 )
 from .solvers.criterion import residual_norm_criterion
-from .solvers.newton import newton_solve, newton_solve_host, NewtonResult
+from .solvers.newton import (newton_solve, newton_solve_host,
+                             frozen_jacobian_polish, NewtonResult)
 from .analysis.stability import (
     ProblemType,
     compute_eigenvalues,
@@ -63,6 +64,7 @@ __all__ = [
     "residual_norm_criterion",
     "newton_solve",
     "newton_solve_host",
+    "frozen_jacobian_polish",
     "NewtonResult",
     "ProblemType",
     "compute_eigenvalues",

@@ -96,6 +96,7 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                     evolve_backend: str = "auto",
                     min_ds: float = 1e-4, max_ds: float = 0.5,
                     grow: float = 1.3, shrink: float = 0.5,
+                    max_step_factor: Optional[float] = 4.0,
                     callback=None) -> list[ArcStep]:
     """Walk a solution branch with adaptive pseudo-arclength steps.
 
@@ -106,6 +107,13 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     stretches go fast.
 
     Args:
+      max_step_factor: reject a converged corrector point farther than
+        ``factor * ds`` from the previous point and retry with a smaller
+        step.  The arclength constraint only pins the *projection along the
+        tangent*, so near a fold Newton can otherwise tunnel to a different
+        solution branch entirely (observed: the slow->fast wave-family jump
+        at ``beta ~ 16``, kept as ``artifacts/arclength_branches``).  Pass
+        ``None`` to allow such jumps (branch discovery mode).
       callback: optional ``f(step_index, ArcStep)`` called per accepted point
         (the CLI uses this for logging/checkpointing).
     """
@@ -129,6 +137,9 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
             res = step_jit(y, tangent, jnp.asarray(cur_ds, dt_))
             ok = bool(res.converged) and bool(
                 jnp.all(jnp.isfinite(res.solution)))
+            if ok and max_step_factor is not None:
+                dist = float(jnp.linalg.norm(res.solution - y))
+                ok = dist <= max_step_factor * cur_ds
             if ok or cur_ds <= min_ds:
                 break
             cur_ds = max(min_ds, cur_ds * shrink)

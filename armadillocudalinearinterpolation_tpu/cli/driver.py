@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial arclength step (adaptive)")
     p.add_argument("--direction", type=float, default=1.0,
                    help="+1: start toward increasing beta; -1: decreasing")
+    p.add_argument("--allow-branch-jump", action="store_true",
+                   help="disable the corrector step-distance guard: near a "
+                        "fold Newton may tunnel to a different solution "
+                        "branch (branch-discovery mode)")
     return p
 
 
@@ -245,7 +249,9 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
     steps = continue_branch(
         cfg, key, Z, beta, sigma=args.sigma, ds=args.ds,
         n_steps=args.steps, direction=args.direction, ncfg=ncfg,
-        evolve_backend=backend, callback=on_step)
+        evolve_backend=backend,
+        max_step_factor=None if args.allow_branch_jump else 4.0,
+        callback=on_step)
     print(f"arclength: {len(steps)} accepted steps"
           + ("" if len(steps) == args.steps else " (branch end reached)"))
     return 0

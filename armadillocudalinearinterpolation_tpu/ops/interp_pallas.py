@@ -62,6 +62,20 @@ def _pad_to(x: jax.Array, n: int, axis: int = 0) -> jax.Array:
     return jnp.pad(x, pad)
 
 
+
+def _x64_safe_call(call):
+    """Invoke a pallas_call with 32-bit trace semantics pinned.
+
+    Under ``jax_enable_x64`` Python-literal promotions inside kernel bodies
+    become int64/f64 ops, which Mosaic cannot lower (its 64->32-bit convert
+    helper recurses).  Every kernel here is f32/int32 by construction, so
+    tracing with x64 off is exact.
+    """
+    from jax._src.config import enable_x64 as _enable_x64
+    with _enable_x64(False):
+        return call()
+
+
 # --------------------------------------------------------------------- 1D
 
 def _lerp1d_kernel(n: int, n_chunks: int, rows: int,
@@ -129,7 +143,7 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     tab1 = _pad_to(fp32[1:], n_pad).reshape(n_chunks, _LANE)
     lims = jnp.array([x0, 1.0 / dx], jnp.float32)
 
-    out = pl.pallas_call(
+    out = _x64_safe_call(lambda: pl.pallas_call(
         functools.partial(_lerp1d_kernel, n, n_chunks, rows),
         out_shape=jax.ShapeDtypeStruct((nsteps * rows, _LANE), jnp.float32),
         grid=(nsteps,),
@@ -144,7 +158,7 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
         ],
         out_specs=pl.BlockSpec((rows, _LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(tab, tab1, qp, lims)
+    )(tab, tab1, qp, lims))
     return out.reshape(-1)[:Q].reshape(shape).astype(xq.dtype)
 
 
@@ -286,7 +300,7 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
         Q = q.shape[0]
         nsteps = max(1, (Q + block - 1) // block)
         qp = _pad_to(q, nsteps * block).reshape(nsteps * rows, _LANE)
-        out = pl.pallas_call(
+        out = _x64_safe_call(lambda: pl.pallas_call(
             functools.partial(_interp1d_kernel, n, m, n_chunks, m_chunks, S,
                               rows),
             out_shape=jax.ShapeDtypeStruct((nsteps * rows, _LANE), f32),
@@ -304,7 +318,7 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
             ],
             out_specs=pl.BlockSpec((rows, _LANE), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-        )(xp1_tab, packed, bucket_tab, qp, lims)
+        )(xp1_tab, packed, bucket_tab, qp, lims))
         return out.reshape(-1)[:Q].reshape(shape).astype(xq.dtype)
 
     return interp
@@ -400,7 +414,7 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
           else jnp.zeros((B, 8, _LANE), jnp.bfloat16))
     gl_block = (1, Hp, Wp) if x2 else (1, 8, _LANE)
 
-    out = pl.pallas_call(
+    out = _x64_safe_call(lambda: pl.pallas_call(
         functools.partial(_bilinear_kernel2, H, W, Hp, Wp, x2),
         out_shape=jax.ShapeDtypeStruct((B, S, _LANE, _SUB), jnp.float32),
         grid=(B, S),
@@ -416,6 +430,6 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, 1, _LANE, _SUB), lambda b, s: (b, s, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(gh, gl, rT, cT)
+    )(gh, gl, rT, cT))
     out = jnp.swapaxes(out, 2, 3).reshape(B, S * block)[:, :Q]
     return out.astype(grids.dtype)

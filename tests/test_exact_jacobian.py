@@ -129,3 +129,34 @@ def test_solve_dense_matches_numpy():
     B = jnp.array([[1.0, 2.0], [3.0, 4.0]])
     X = jax.jit(solve_dense)(A, B)
     np.testing.assert_allclose(np.asarray(X), np.linalg.solve(A, B))
+
+
+def test_frozen_jacobian_polish_quadratic():
+    from armadillocudalinearinterpolation_tpu import frozen_jacobian_polish
+    F = lambda x: x * x - jnp.array([4.0, 9.0])
+    x0 = jnp.array([2.1, 3.1])
+    J = jax.jacfwd(F)(x0)
+    res = frozen_jacobian_polish(F, x0, J, max_iterations=20, tolerance=1e-10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.solution), [2.0, 3.0],
+                               rtol=1e-8)
+    # keep-best: reported norm is the norm AT the returned solution
+    assert float(jnp.linalg.norm(F(res.solution))) == pytest.approx(
+        float(res.residual_norm))
+
+
+def test_frozen_jacobian_polish_keeps_best_on_noisy_residual():
+    from armadillocudalinearinterpolation_tpu import frozen_jacobian_polish
+    # a residual with a hard floor: the second component is never zero,
+    # and jumps discontinuously — |F| >= 0.04 everywhere
+    def F(x):
+        return jnp.stack([x[0],
+                          0.05 + 0.01 * jnp.sign(jnp.sin(997.0 * x[0]))])
+    x0 = jnp.array([0.35, -0.2])
+    J = jnp.eye(2)
+    res = frozen_jacobian_polish(F, x0, J, max_iterations=6, tolerance=1e-12)
+    # never converges, but returns the best visited iterate faithfully
+    assert not bool(res.converged)
+    assert 0.04 <= float(res.residual_norm) <= float(jnp.linalg.norm(F(x0)))
+    assert float(jnp.linalg.norm(F(res.solution))) == pytest.approx(
+        float(res.residual_norm))
