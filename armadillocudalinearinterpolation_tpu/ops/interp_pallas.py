@@ -333,6 +333,116 @@ def interp1d(xq, xp, fp, **kw):
     return make_interp1d(xp, fp, **kw)(xq)
 
 
+# ---------------------------------------------------------- 2D, fp64-grade
+
+def _gather8_kernel(hw: int, n_chunks: int, rows: int,
+                    tabs_ref, idx_ref, out_ref):
+    """Gather 8 pre-shifted table copies at one flat index per query.
+
+    ``tabs`` rows ``8c .. 8c+7`` hold chunk ``c`` of the four corner shifts
+    (0, 1, W, W+1) of the hi then lo f32 halves of an f64 grid, so ONE
+    chunk sweep resolves every value bilinear needs.  Output lane layout:
+    8 consecutive sublane groups of ``rows`` each (corner-major).
+    """
+    idx = idx_ref[0, 0].astype(jnp.int32)
+    chunk = jax.lax.shift_right_logical(idx, jnp.int32(7))
+    off = jax.lax.bitwise_and(idx, jnp.int32(_LANE - 1))
+
+    def sweep(c, acc):
+        m = chunk == c
+        outs = []
+        for k in range(8):
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(tabs_ref[0, pl.ds(8 * c + k, 1), :],
+                                 (rows, _LANE)), off, axis=1)
+            outs.append(jnp.where(m, g, acc[k]))
+        return tuple(outs)
+
+    acc = tuple(jnp.zeros((rows, _LANE), jnp.float32) for _ in range(8))
+    acc = jax.lax.fori_loop(0, n_chunks, sweep, acc)
+    out_ref[0, 0] = jnp.concatenate(acc, axis=0)
+
+
+def bilinear_batched_f64(pts: jax.Array, grids: jax.Array,
+                         *, rows: int = 64) -> jax.Array:
+    """Batched 2D bilinear at full f64 accuracy, Pallas-accelerated.
+
+    BASELINE.md config 2 lists fp32/fp64; this is the fp64 leg at speed
+    (VERDICT.md round 1, next-round item #4).  The gather — the part XLA's
+    emulated-f64 path is slow at — runs as an f32 Pallas chunk sweep over
+    hi/lo split tables (exact: f64 = f32_hi + f32_lo); the 4-corner blend
+    runs in genuine f64 on the XLA side (cheap: ~20 flops/query).  Matches
+    the host-double oracle to ~1e-15.
+
+    Args:
+      pts: ``(B, Q, 2)`` f64 query coordinates in index space (clamped).
+      grids: ``(B, H, W)`` f64 tables; ``H*W <= MAX_TABLE``.
+    """
+    f32 = jnp.float32
+    B, Q, _ = pts.shape
+    _, H, W = grids.shape
+    hw = H * W
+    if hw > MAX_TABLE:
+        raise ValueError(f"grid too large for VMEM sweep: {H}x{W}")
+
+    r = jnp.clip(pts[..., 0], 0.0, H - 1.0)
+    c = jnp.clip(pts[..., 1], 0.0, W - 1.0)
+    r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, H - 2)
+    c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, W - 2)
+    tr = (r - r0).astype(jnp.float64)
+    tc = (c - c0).astype(jnp.float64)
+    flat = (r0 * W + c0).astype(f32)               # exact below 2^24
+
+    # four corner shifts x (hi, lo): f64 = hi + lo exactly
+    g64 = grids.astype(jnp.float64).reshape(B, hw)
+    n_pad = ((hw + _LANE - 1) // _LANE) * _LANE
+    n_chunks = n_pad // _LANE
+
+    def shifted(sh):
+        return _pad_to(g64[:, sh:], n_pad, axis=1)
+
+    parts = []
+    for sh in (0, 1, W, W + 1):
+        g = shifted(sh)
+        hi = g.astype(f32)
+        lo = (g - hi.astype(jnp.float64)).astype(f32)
+        parts.append(hi)
+        parts.append(lo)
+    # interleave by chunk: rows 8c..8c+7 = the 8 parts of chunk c
+    tabs = jnp.stack([p.reshape(B, n_chunks, _LANE) for p in parts],
+                     axis=2).reshape(B, 8 * n_chunks, _LANE)
+
+    block = rows * _LANE
+    S = max(1, (Q + block - 1) // block)
+    idx = _pad_to(flat, S * block, axis=1).reshape(B, S, rows, _LANE)
+
+    out = _x64_safe_call(lambda: pl.pallas_call(
+        functools.partial(_gather8_kernel, hw, n_chunks, rows),
+        out_shape=jax.ShapeDtypeStruct((B, S, 8 * rows, _LANE), f32),
+        grid=(B, S),
+        in_specs=[
+            pl.BlockSpec((1, 8 * n_chunks, _LANE), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, _LANE), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8 * rows, _LANE),
+                               lambda b, s: (b, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(tabs, idx))
+
+    # (B, S, 8, rows, LANE) -> corner values as f64, unpadded
+    out = out.reshape(B, S, 8, rows, _LANE).reshape(B, S, 8, block)
+    out = jnp.moveaxis(out, 2, 1).reshape(B, 8, S * block)[:, :, :Q]
+    g00 = out[:, 0].astype(jnp.float64) + out[:, 1].astype(jnp.float64)
+    g01 = out[:, 2].astype(jnp.float64) + out[:, 3].astype(jnp.float64)
+    g10 = out[:, 4].astype(jnp.float64) + out[:, 5].astype(jnp.float64)
+    g11 = out[:, 6].astype(jnp.float64) + out[:, 7].astype(jnp.float64)
+    top = g00 + tc * (g01 - g00)
+    bot = g10 + tc * (g11 - g10)
+    return top + tr * (bot - top)
+
+
 # --------------------------------------------------------------------- 2D
 
 _SUB = 8  # query sub-tiles per grid step (each 128 queries along sublanes)

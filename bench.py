@@ -147,9 +147,10 @@ def bench_interp1d_nonuniform():
 
 
 def bench_bilinear2d_f64():
-    """BASELINE config 2, fp64 leg: XLA f64 (emulated) on the TPU chip,
-    validated against host numpy double to 1e-10."""
-    from armadillocudalinearinterpolation_tpu.ops import interp
+    """BASELINE config 2, fp64 leg, two on-chip paths: the Pallas hi/lo
+    corner-gather kernel (f64-exact, fast) and XLA f64 emulation (slow
+    baseline) — both validated against host numpy double."""
+    from armadillocudalinearinterpolation_tpu.ops import interp, interp_pallas
 
     jax.config.update("jax_enable_x64", True)
     B, H, W = 16, 256, 256
@@ -174,18 +175,27 @@ def bench_bilinear2d_f64():
            + tr * tc * g[bi, r0 + 1, c0 + 1])
     err = float(np.max(np.abs(np.asarray(out) - ref)))
 
-    def make(K):
-        @jax.jit
-        def run():
-            def body(_, pp):
-                o = interp.bilinear_batched(pp, grids)
-                rr = (o * 977.0) % (H - 1.0)
-                return jnp.stack([rr, (rr * 1.7) % (W - 1.0)], axis=-1)
-            return jnp.sum(jax.lax.fori_loop(0, K, body, pts0))
-        return run
+    out_p = interp_pallas.bilinear_batched_f64(pts0, grids)
+    err_p = float(np.max(np.abs(np.asarray(out_p) - ref)))
 
-    s = _slope(make, k_lo=1, k_hi=3, reps=3, stat=np.min)
-    return B * Q / s, err
+    def chained(op):
+        def make(K):
+            @jax.jit
+            def run():
+                def body(_, pp):
+                    o = op(pp)
+                    rr = (o * 977.0) % (H - 1.0)
+                    return jnp.stack([rr, (rr * 1.7) % (W - 1.0)], axis=-1)
+                return jnp.sum(jax.lax.fori_loop(0, K, body, pts0))
+            return run
+        return make
+
+    s_xla = _slope(chained(lambda p: interp.bilinear_batched(p, grids)),
+                   k_lo=1, k_hi=3, reps=3, stat=np.min)
+    s_pal = _slope(chained(
+        lambda p: interp_pallas.bilinear_batched_f64(p, grids)),
+        k_lo=1, k_hi=5, reps=3, stat=np.min)
+    return B * Q / s_xla, err, B * Q / s_pal, err_p
 
 
 def bench_pallas_parity():
@@ -347,9 +357,11 @@ def main():
         extras["map_error"] = str(e)[:200]
 
     try:
-        q64, err64 = bench_bilinear2d_f64()
-        extras["bilinear2d_f64_qps"] = round(q64 / 1e6, 1)
-        extras["bilinear2d_f64_maxerr"] = err64
+        q64, err64, q64p, err64p = bench_bilinear2d_f64()
+        extras["bilinear2d_f64_xla_qps"] = round(q64 / 1e6, 1)
+        extras["bilinear2d_f64_xla_maxerr"] = err64
+        extras["bilinear2d_f64_pallas_qps"] = round(q64p / 1e6, 1)
+        extras["bilinear2d_f64_pallas_maxerr"] = err64p
     except Exception as e:
         extras["bilinear2d_f64_error"] = str(e)[:200]
 

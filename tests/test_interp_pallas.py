@@ -133,3 +133,31 @@ def test_interp1d_nonuniform_dense_cluster():
     want = interp.interp1d(xq, xp, fp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_f64_matches_host_double():
+    B, H, W = 2, 64, 96
+    grids = jax.random.normal(jax.random.PRNGKey(21), (B, H, W), jnp.float64)
+    pts = jax.random.uniform(jax.random.PRNGKey(22), (B, 701, 2),
+                             jnp.float64, -1.0, float(H) + 1.0)
+    got = np.asarray(interp_pallas.bilinear_batched_f64(pts, grids))
+    g = np.asarray(grids)
+    p = np.asarray(pts)
+    r = np.clip(p[..., 0], 0, H - 1.0)
+    c = np.clip(p[..., 1], 0, W - 1.0)
+    r0 = np.clip(np.floor(r).astype(int), 0, H - 2)
+    c0 = np.clip(np.floor(c).astype(int), 0, W - 2)
+    tr, tc = r - r0, c - c0
+    bi = np.arange(B)[:, None]
+    ref = ((1 - tr) * (1 - tc) * g[bi, r0, c0]
+           + (1 - tr) * tc * g[bi, r0, c0 + 1]
+           + tr * (1 - tc) * g[bi, r0 + 1, c0]
+           + tr * tc * g[bi, r0 + 1, c0 + 1])
+    np.testing.assert_allclose(got, ref, atol=1e-13)
+
+
+def test_bilinear_f64_rejects_oversized_grid():
+    with pytest.raises(ValueError, match="grid too large"):
+        interp_pallas.bilinear_batched_f64(
+            jnp.zeros((1, 4, 2), jnp.float64),
+            jnp.zeros((1, 512, 256), jnp.float64))
