@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="event-loop backend (auto picks the Pallas kernel "
                         "on TPU for fp32, lane-aligned grids)")
+    p.add_argument("--evolve-window", type=int, default=0,
+                   help="Pallas evolve root-find window in lanes (multiple "
+                        "of 128; 0 = all lanes). Certified exact per event; "
+                        "~3x faster at reference scale")
     p.add_argument("--damping", type=float, default=1.0)
     p.add_argument("--quiet", action="store_true")
     # continuation (Driver.cu:86-114)
@@ -71,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume a sweep from --checkpoint")
     p.add_argument("--debug-dump", type=str, default=None,
                    help="dump every map stage to this directory (.npy)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of the run to this "
+                        "directory (TensorBoard/perfetto)")
     p.add_argument("--stability", action="store_true",
                    help="eigenvalue analysis at each converged point")
     # pseudo-arclength mode (beyond the reference: rounds folds the naive
@@ -101,6 +108,16 @@ def main(argv=None) -> int:
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()  # one-time Mosaic compiles per machine
 
+    if args.profile:
+        from ..utils.profiling import trace
+        with trace(args.profile):
+            rc = _run(args)
+        print(f"profiler trace written to {args.profile}/")
+        return rc
+    return _run(args)
+
+
+def _run(args) -> int:
     from .. import (ModelConfig, MapParams, NewtonConfig, newton_solve,
                     make_residual_fn, event_driven_map, ProblemType,
                     compute_eigenvalues)
@@ -111,7 +128,7 @@ def main(argv=None) -> int:
 
     cfg = ModelConfig(n_neurons=args.neurons, n_real=args.realisations,
                       n_spikes=args.spikes, t_horizon=args.horizon,
-                      dtype=args.dtype)
+                      evolve_window=args.evolve_window, dtype=args.dtype)
     ncfg = NewtonConfig(tolerance=args.tol, max_iterations=args.max_iter,
                         fd_epsilon=args.fd_eps, damping=args.damping,
                         print_output=not args.quiet, fd_mode=args.fd_mode)

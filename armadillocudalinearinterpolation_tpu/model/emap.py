@@ -91,6 +91,12 @@ def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
     if use_pallas:
         from .evolve_pallas import evolve_ensemble_pallas
         res = evolve_ensemble_pallas(cfg, v0, s0, beta, init_ind)
+    elif cfg.evolve_window:
+        # batched array-level loop: the certified window needs a genuine
+        # scalar lax.cond fallback, which vmap would turn into a select
+        from .evolve_batched import evolve_ensemble_batched
+        res = evolve_ensemble_batched(cfg, coupling_kernel(cfg), v0, s0,
+                                      beta, init_ind)
     else:
         res = evolve_ensemble(cfg, coupling_kernel(cfg), v0, s0, beta,
                               init_ind)

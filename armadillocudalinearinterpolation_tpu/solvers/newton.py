@@ -333,6 +333,12 @@ def frozen_jacobian_polish(
     Fj = jax.jit(F)
     x = x0
     best_x, best_f, best_norm = x0, None, float("inf")
+    # A frozen-Jacobian iteration on a jumpy landscape can lock into a
+    # 2-cycle (observed at N=4096), revisiting the same two points forever;
+    # stepping from the BEST iterate with a varied damping schedule keeps
+    # every sample distinct and explores the neighbourhood at several
+    # scales.  Deterministic (no RNG) so bench results are reproducible.
+    dampings = (1.0, 0.5, 1.5, 0.75, 1.25, 0.35, 0.9, 1.1)
     it = 0
     for it in range(max_iterations + 1):
         f = Fj(x)
@@ -341,7 +347,8 @@ def frozen_jacobian_polish(
             best_x, best_f, best_norm = x, f, norm
         if norm <= tolerance or it == max_iterations:
             break
-        x = x + solve_dense(jacobian, -f)
+        damp = dampings[it % len(dampings)]
+        x = best_x + damp * solve_dense(jacobian, -best_f)
     n = x0.shape[0]
     hist = jnp.full((max_iterations + 1,), jnp.nan, x0.dtype)
     return NewtonResult(

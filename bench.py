@@ -283,8 +283,10 @@ def bench_newton_1e8():
 
     # Stage 2: f64 (XLA emulation on-chip) exact-Jacobian Newton to the
     # map's discontinuity scale (~1e-8 at N=4096: event-reordering jumps).
+    # windowed root-finds (certified exact, evolve_batched.py) cut the
+    # f64-emulated transcendental load ~N/W-fold where it dominates
     cfg64 = ModelConfig(n_neurons=4096, n_real=64, dtype="float64",
-                        root_tol=1e-12)
+                        root_tol=1e-12, evolve_window=512)
     params64 = MapParams.create(13.0589, 0.1, dtype="float64")
     F64 = make_residual_fn(cfg64, params64, key, evolve_backend="xla")
     n64 = NewtonConfig(tolerance=1e-9, max_iterations=2, fd_mode="exact")
@@ -295,7 +297,7 @@ def bench_newton_1e8():
     # samples around this root bounce in [4e-9, 6e-8]; 16 draws put the
     # best comfortably under the 1e-8 target.
     pol = frozen_jacobian_polish(F64, res.solution, res.jacobian,
-                                 max_iterations=16, tolerance=5e-9)
+                                 max_iterations=16, tolerance=9e-9)
     t_solve = time.perf_counter() - t0
     iters = (int(r32.iterations) + int(res.iterations) + int(pol.iterations))
     return t_solve, iters, float(pol.residual_norm)
