@@ -38,17 +38,32 @@ class ArcStep(NamedTuple):
     residual_norm: jax.Array
 
 
-def make_extended_residual(cfg: ModelConfig, key: jax.Array, sigma,
-                           *, evolve_backend: str = "auto"
+def make_extended_residual(cfg: ModelConfig, key: jax.Array, fixed,
+                           *, param: str = "beta",
+                           evolve_backend: str = "auto"
                            ) -> Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]:
-    """Residual of the bordered system ``G(y) = (F(Z; beta), arc(y))``."""
+    """Residual of the bordered system ``G(y) = (F(Z; p), arc(y))``.
+
+    ``param`` selects the continuation parameter: ``"beta"`` (the mean
+    synaptic rate, the reference's sweep axis) or ``"sigma"`` (the
+    heterogeneity std-dev — the reference's commented-out experiment,
+    ``Driver.cu:76-84``, as a genuine continuation axis).  ``fixed`` is the
+    held value of the other parameter.  Both partials flow through the same
+    IFT event-time JVP (``d beta_draw/d sigma`` is the frozen noise, so
+    ``dF/dsigma`` is exact under common random numbers).
+    """
+    if param not in ("beta", "sigma"):
+        raise ValueError(f"param must be 'beta' or 'sigma', got {param!r}")
     dt_ = cfg.jdtype
-    sigma = jnp.asarray(sigma, dt_)
+    fixed = jnp.asarray(fixed, dt_)
 
     def G(y: jax.Array, y_prev: jax.Array, tangent: jax.Array,
           ds: jax.Array) -> jax.Array:
-        Z, beta = y[:-1], y[-1]
-        params = MapParams(beta=beta.astype(dt_), sigma=sigma)
+        Z, p = y[:-1], y[-1].astype(dt_)
+        if param == "beta":
+            params = MapParams(beta=p, sigma=fixed)
+        else:
+            params = MapParams(beta=fixed, sigma=p)
         f = event_driven_map(cfg, params, key, Z,
                              evolve_backend=evolve_backend)
         arc = jnp.dot(y - y_prev, tangent) - ds
@@ -90,7 +105,8 @@ def next_tangent(y_new: jax.Array, y_prev: jax.Array, old_tangent: jax.Array
 
 
 def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
-                    sigma=0.0, ds: float = 0.1, n_steps: int = 100,
+                    sigma=0.0, param: str = "beta",
+                    ds: float = 0.1, n_steps: int = 100,
                     direction: float = 1.0,
                     ncfg: Optional[NewtonConfig] = None,
                     evolve_backend: str = "auto",
@@ -107,6 +123,9 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     stretches go fast.
 
     Args:
+      param: continuation axis — ``"beta"`` walks the mean rate holding
+        ``sigma`` fixed; ``"sigma"`` walks the heterogeneity std-dev holding
+        ``beta0`` fixed (start value = ``sigma``).
       max_step_factor: reject a converged corrector point farther than
         ``factor * ds`` from the previous point and retry with a smaller
         step.  The arclength constraint only pins the *projection along the
@@ -121,13 +140,15 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     if ncfg is None:
         ncfg = NewtonConfig(tolerance=1e-9, max_iterations=12,
                             fd_mode="exact")
-    G = jax.jit(make_extended_residual(cfg, key, sigma,
+    # walking beta holds sigma fixed and vice versa; the free value seeds y
+    fixed, free0 = ((sigma, beta0) if param == "beta" else (beta0, sigma))
+    G = jax.jit(make_extended_residual(cfg, key, fixed, param=param,
                                        evolve_backend=evolve_backend))
     step_jit = jax.jit(lambda y_prev, tangent, ds_: arclength_step(
         G, y_prev, tangent, ds_, ncfg))
 
     y = jnp.concatenate([jnp.asarray(Z0, dt_),
-                         jnp.asarray(beta0, dt_)[None]])
+                         jnp.asarray(free0, dt_)[None]])
     tangent = initial_tangent(y.shape[0] - 1, direction, dt_)
     out: list[ArcStep] = []
     cur_ds = float(ds)

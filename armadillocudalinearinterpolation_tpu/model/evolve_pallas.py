@@ -26,6 +26,11 @@ Design notes:
   * argmin-with-lowest-index is two lane reductions (min, then min of
     index-where-equal) — the Mosaic-friendly form of the reference's
     warp-shuffle min-with-argmin (``:843-881``).
+  * With ``cfg.evolve_window > 0`` the per-event root-find runs on a
+    W-lane cyclic window (``pltpu.roll``) around the wave packet, certified
+    exact per event by a closed-form lower bound on out-of-window crossing
+    times with a ``lax.cond`` full-evaluation fallback — ~3.2x at reference
+    scale, identical results (see ``select_event_windowed``).
 
 Packed output layout per realisation row (f32; indices exact below 2^24):
 ``[0:M] last_ind  [M:2M] last_t  [2M:3M] crossed_ind  [3M:4M] crossed_t

@@ -5,10 +5,15 @@ implementations, which remain the correctness oracle).  Measured on one
 v5e chip against the XLA gather lowering (chained-iteration timing, see
 ``bench.py``):
 
-  * ``lerp1d``:   ~14 Gq/s  vs 0.07 Gq/s XLA   (~200x)
-  * ``bilinear_batched``: ~0.34 Gq/s vs 0.016 Gq/s XLA (~20-38x run to run,
-    bf16x2 mode — at the MXU-FLOP-bound ceiling of the algorithm:
-    4 H*W MACs/query)
+  * ``lerp1d``:   ~14 Gq/s vs 0.07 Gq/s XLA (1k nodes); ~0.17 Gq/s at 64k
+    nodes (rolled chunk sweep — cost linear in n/128, the in-vreg gather
+    unit's algorithmic floor)
+  * ``make_interp1d`` (non-uniform nodes): ~0.35 Gq/s, exact vs the XLA
+    searchsorted semantics
+  * ``bilinear_batched``: ~0.39 Gq/s vs 0.016 Gq/s XLA (bf16x2 mode — at
+    the MXU-FLOP-bound ceiling of the algorithm: 4 H*W MACs/query)
+  * ``bilinear_batched_f64``: ~5x the XLA emulated-f64 path at full f64
+    accuracy (hi/lo-split corner gather + exact f64 blend)
 
 Design notes (the TPU-native reasoning, not a CUDA translation):
 
@@ -44,11 +49,8 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from . import interp as _ref
 
 MAX_TABLE = 65536         # tables beyond the unroll threshold use a rolled
 _UNROLL_CHUNKS = 32       # chunk loop (cost linear in n/128 — the in-vreg
@@ -247,7 +249,7 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
       ``f(xq) -> interpolated values``, clamped at the table ends
       (``numpy.interp`` semantics, matching the XLA reference).
     """
-    import numpy as np_
+    import numpy as np_  # host-side table prep (concrete arrays)
     xp = jnp.asarray(xp)
     fp = jnp.asarray(fp)
     n = xp.shape[0]

@@ -206,6 +206,7 @@ def bench_pallas_parity():
     from armadillocudalinearinterpolation_tpu import (
         ModelConfig, MapParams, event_driven_map)
 
+    jax.config.update("jax_enable_x64", True)
     Z = jnp.array([0.3310, 0.6914, 1.3557], jnp.float32)
     key = jax.random.PRNGKey(0)
     params = MapParams.create(13.0589, 0.1, dtype="float32")
@@ -216,8 +217,18 @@ def bench_pallas_parity():
     cfg_w = ModelConfig(n_neurons=1024, n_real=256, dtype="float32",
                         evolve_window=128)
     f_w = event_driven_map(cfg_w, params, key, Z, evolve_backend="pallas")
+    # anchor both f32 backends against the on-chip f64 map (same key/draws):
+    # the meaningful claim is that the Pallas kernel adds no error beyond
+    # f32 itself, not that two f32 op orders agree bitwise
+    cfg64 = ModelConfig(n_neurons=1024, n_real=256, dtype="float64",
+                        root_tol=1e-12, evolve_window=256)
+    params64 = MapParams.create(13.0589, 0.1, dtype="float64")
+    f_64 = event_driven_map(cfg64, params64, key, Z.astype(jnp.float64),
+                            evolve_backend="xla")
+    d_p64 = float(jnp.max(jnp.abs(f_p.astype(jnp.float64) - f_64)))
+    d_x64 = float(jnp.max(jnp.abs(f_x.astype(jnp.float64) - f_64)))
     return (float(jnp.max(jnp.abs(f_p - f_x))),
-            float(jnp.max(jnp.abs(f_w - f_p))))
+            float(jnp.max(jnp.abs(f_w - f_p))), d_p64, d_x64)
 
 
 def bench_map_eval():
@@ -347,9 +358,11 @@ def main():
         extras["interp1d_nonuniform_error"] = str(e)[:200]
 
     try:
-        d_px, d_wf = bench_pallas_parity()
+        d_px, d_wf, d_p64, d_x64 = bench_pallas_parity()
         extras["pallas_vs_xla_residual_delta"] = d_px
         extras["windowed_vs_full_residual_delta"] = d_wf
+        extras["pallas_vs_f64_residual_delta"] = d_p64
+        extras["xla_f32_vs_f64_residual_delta"] = d_x64
     except Exception as e:
         extras["parity_error"] = str(e)[:200]
 

@@ -76,3 +76,18 @@ def test_cli_arclength(capsys, tmp_path):
         ContinuationCheckpoint)
     steps = ContinuationCheckpoint(tmp_path / "arc").load_all()
     assert len(steps) == 2 and steps[-1].beta > 13.0589
+
+
+def test_arclength_in_sigma(cfg, key):
+    """Continuation in the heterogeneity std-dev (the reference's
+    commented-out experiment direction, Driver.cu:76-84): walk sigma up
+    from the homogeneous fixed point at fixed beta."""
+    from armadillocudalinearinterpolation_tpu.analysis.continuation import (
+        continue_branch)
+    Z0 = jnp.array([0.32623663, 0.71936722, 1.36899475], jnp.float64)
+    steps = continue_branch(cfg, key, Z0, 13.0589, sigma=0.0, param="sigma",
+                            ds=0.2, n_steps=2)
+    assert len(steps) == 2
+    sigmas = [float(s.y[-1]) for s in steps]
+    assert sigmas[0] > 0.0 and sigmas == sorted(sigmas)
+    assert all(float(s.residual_norm) < 1e-8 for s in steps)

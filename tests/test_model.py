@@ -179,3 +179,25 @@ def test_gauge_roundtrip(z_ref):
     assert U.shape == (4,)
     assert float(U[1]) == 0.0
     np.testing.assert_allclose(np.asarray(u_to_z(U)), np.asarray(z_ref))
+
+
+def test_pipeline_generalizes_over_n_spikes(key):
+    """The whole pipeline is generic in n_spikes (the reference hardcodes
+    noSpikes=3 at compile time, parameters.hpp:12): shapes and finiteness
+    for M=2 and M=5."""
+    from armadillocudalinearinterpolation_tpu import (
+        ModelConfig, MapParams, event_driven_map)
+    for m, guess in [(2, [0.33, 0.7]), (5, [0.33, 0.5, 1.0, 1.5, 2.0])]:
+        cfg = ModelConfig(n_neurons=512, n_real=2, n_spikes=m,
+                          dtype="float64")
+        params = MapParams.create(13.0589, 0.0, dtype="float64")
+        f, diag = event_driven_map(cfg, params, key,
+                                   jnp.asarray(guess, jnp.float64),
+                                   with_diagnostics=True)
+        assert f.shape == (m,)
+        if not bool(jnp.all(jnp.isfinite(f))):
+            # a NaN residual is legal ONLY as the documented loud failure:
+            # zero accepted realisations at a non-physical guess
+            assert float(diag.accept_count) == 0.0
+        else:
+            assert float(diag.accept_count) > 0.0

@@ -56,3 +56,16 @@ def test_sharded_newton_converges(params, key, z_ref, mesh8):
     assert bool(res.converged)
     np.testing.assert_allclose(
         np.asarray(res.solution), [0.331, 0.6914, 1.3557], atol=0.05)
+
+
+def test_sharded_map_with_windowed_evolve(params, key, z_ref, mesh8):
+    """The batched windowed evolve (evolve_window > 0) must partition under
+    GSPMD like the vmapped path: sharded == unsharded on the same config."""
+    cfg = ModelConfig(n_neurons=512, n_real=16, dtype="float64",
+                      evolve_window=128)
+    f_unsharded = event_driven_map(cfg, params, key, z_ref,
+                                   evolve_backend="xla")
+    f_sharded = jax.jit(
+        lambda z: event_driven_map_sharded(cfg, params, key, z, mesh8))(z_ref)
+    np.testing.assert_allclose(np.asarray(f_sharded),
+                               np.asarray(f_unsharded), rtol=1e-12)
