@@ -158,6 +158,17 @@ def _run(args) -> int:
                 key, _ = jax.random.split(key)
             print(f"resuming at step {start} (beta={beta:.4f})")
 
+    if args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
+        # The map's spike-index seeding quantises with the grid, so an FD
+        # stencil wider than one cell straddles O(dx) staircase steps and
+        # can poison the Jacobian (observed: divergence at N=1024 with the
+        # reference's default eps=1e-2).  The reference never hits this
+        # because its grid (N=512) is coarser than its epsilon.
+        print(f"warning: --fd-eps {args.fd_eps:g} >= grid spacing "
+              f"dx={cfg.dx:.2e}; the FD Jacobian may straddle the map's "
+              "seeding staircase. Consider --fd-eps below dx/4, "
+              "--fd-mode central, or --fd-mode exact.", file=sys.stderr)
+
     # Smoke test, as in Driver.cu:58-59.
     params = MapParams.create(beta, args.sigma, dtype=args.dtype)
     t0 = time.time()
