@@ -113,6 +113,7 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                     min_ds: float = 1e-4, max_ds: float = 0.5,
                     grow: float = 1.3, shrink: float = 0.5,
                     max_step_factor: Optional[float] = 4.0,
+                    tangent0: Optional[jax.Array] = None,
                     callback=None) -> list[ArcStep]:
     """Walk a solution branch with adaptive pseudo-arclength steps.
 
@@ -149,7 +150,10 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
 
     y = jnp.concatenate([jnp.asarray(Z0, dt_),
                          jnp.asarray(free0, dt_)[None]])
-    tangent = initial_tangent(y.shape[0] - 1, direction, dt_)
+    # tangent0 lets a resumed walk keep its direction (e.g. the secant of
+    # the last two checkpointed points) instead of restarting along +param
+    tangent = (jnp.asarray(tangent0, dt_) if tangent0 is not None
+               else initial_tangent(y.shape[0] - 1, direction, dt_))
     out: list[ArcStep] = []
     cur_ds = float(ds)
 

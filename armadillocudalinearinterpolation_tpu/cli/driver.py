@@ -147,7 +147,17 @@ def _run(args) -> int:
             print("error: --resume requires --checkpoint", file=sys.stderr)
             return 2
         last = ckpt.last()
-        if last is not None:
+        if last is not None and args.arclength:
+            # Arclength resume: restart FROM the last accepted point (its
+            # checkpointed 'beta' field holds the walked parameter value —
+            # no +beta_step shift: the walker's own predictor moves it) and
+            # keep the UNSPLIT key (the walk never reseeds between steps).
+            start = last.index + 1
+            beta = last.beta
+            Z = jnp.asarray(last.solution, dt_)
+            print(f"resuming arclength walk at step {start} "
+                  f"(param={beta:.4f})")
+        elif last is not None:
             start = last.index + 1
             beta = last.beta + args.beta_step
             Z = jnp.asarray(last.solution, dt_)
@@ -184,8 +194,11 @@ def _run(args) -> int:
     if args.arclength:
         return run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start)
 
+    # exact Jacobians differentiate through the map: the Pallas kernel
+    # defines no JVP, so exact mode pins the XLA evolve backend
+    solve_backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
     solve = jax.jit(lambda p, k, z: newton_solve(
-        make_residual_fn(cfg, p, k, evolve_backend=args.evolve_backend),
+        make_residual_fn(cfg, p, k, evolve_backend=solve_backend),
         z, ncfg))
 
     for i in range(start, start + args.steps):
@@ -249,6 +262,18 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
     # finite-difference modes may keep the Pallas backend
     backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
 
+    # On resume, keep walking the same way: secant tangent of the last two
+    # checkpointed points (a fresh +param tangent would walk backward after
+    # a fold).
+    tangent0 = None
+    if args.resume and ckpt is not None:
+        prev = ckpt.load_all()
+        if len(prev) >= 2:
+            ya = np.concatenate([prev[-2].solution, [prev[-2].beta]])
+            yb = np.concatenate([prev[-1].solution, [prev[-1].beta]])
+            d = yb - ya
+            tangent0 = d / np.linalg.norm(d)
+
     def on_step(i, step):
         b = float(step.y[-1])
         sol = np.asarray(step.y[:-1])
@@ -279,7 +304,7 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
         n_steps=args.steps, direction=args.direction, ncfg=ncfg,
         evolve_backend=backend,
         max_step_factor=None if args.allow_branch_jump else 4.0,
-        callback=on_step)
+        tangent0=tangent0, callback=on_step)
     print(f"arclength: {len(steps)} accepted steps"
           + ("" if len(steps) == args.steps else " (branch end reached)"))
     return 0

@@ -102,13 +102,18 @@ def evolve_ensemble_batched(cfg: ModelConfig, w: jax.Array, v0: jax.Array,
         j_w = jnp.take_along_axis(
             widx, jnp.argmin(times_w, axis=1)[:, None], axis=1)[:, 0]
 
-        # out-of-window certificate (one log per lane)
+        # out-of-window certificate (one log per lane).  The ODE-comparison
+        # bound needs the synapse to decay between kicks (beta > 0); a
+        # non-positive heterogeneous draw (possible in principle for huge
+        # sigma) voids the bound, so such lanes report t_lb = 0 and force
+        # the exact full-evaluation fallback.
         cap = drive + jnp.maximum(c.s, 0.0)
         denom = cap - vth
         lb = jnp.where(denom > 0.0,
                        jnp.log(jnp.maximum(cap - c.v, 1e-300)
                                / jnp.maximum(denom, 1e-300)),
                        jnp.asarray(jnp.inf, dt_))
+        lb = jnp.where(beta > 0.0, lb, 0.0)
         rel = jnp.mod(lane - start[:, None], N)
         lb_out = jnp.min(jnp.where(rel < W, jnp.asarray(jnp.inf, dt_), lb),
                          axis=1)

@@ -89,10 +89,6 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
     out_ref[:] = jnp.broadcast_to(book0_ref[:], (R, _LANE))
 
-    def bmin(x, width):
-        """Lane-reduce min and broadcast back to (R, width)."""
-        return jnp.broadcast_to(jnp.min(x, axis=1, keepdims=True), (R, width))
-
     def b2f(pred):
         """bool -> f32 via select: Mosaic's bool convert helper recurses
         infinitely under jax_enable_x64 (bool routes through the 64-bit
@@ -212,7 +208,10 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
             jnp.min(jnp.where(times_w == dt_w, lane_w, W), axis=1,
                     keepdims=True) + l0, N)
 
-        # certificate over the out-of-window remainder (one log per lane)
+        # certificate over the out-of-window remainder (one log per lane).
+        # The bound needs the synapse to decay between kicks (beta > 0); a
+        # non-positive heterogeneous draw voids it, so such lanes report
+        # t_lb = 0 and force the exact full-evaluation fallback.
         vo = vr[:, W:]
         cap = drive + jnp.maximum(sr[:, W:], 0.0)
         denom = cap - vth
@@ -220,6 +219,7 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
                        jnp.log(jnp.maximum(cap - vo, 1e-30)
                                / jnp.maximum(denom, 1e-30)),
                        jnp.float32(1e9))
+        lb = jnp.where(br[:, W:] > 0.0, lb, 0.0)
         lb_row = jnp.min(lb, axis=1, keepdims=True)
         viol = jnp.max(b2f(jnp.logical_and(live_rows(), dt_w > lb_row)))
         return jax.lax.cond(viol < 0.5,
@@ -362,17 +362,13 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
     book0 = jnp.where((lane >= 3 * M) & (lane < 4 * M),
                       jnp.float32(2.0 * cfg.t_horizon), ind_f)
 
-    # Trace the kernel with x64 promotion semantics OFF: under
-    # jax_enable_x64 a handful of Python-literal promotions inside the
-    # kernel body become int64/f64 ops, which Mosaic cannot lower (its
-    # 64->32-bit convert helper recurses).  Every kernel input is f32/int32,
-    # so 32-bit trace semantics are exact.
-    from jax._src.config import enable_x64 as _enable_x64
-    with _enable_x64(False):
-        packed = _call_kernel(cfg, r_block, n_blocks, Rp,
-                              v0.astype(jnp.float32)[None, :],
-                              s0.astype(jnp.float32)[None, :],
-                              beta32, book0[None, :])
+    # Trace the kernel with 32-bit semantics pinned (see utils/x64.py).
+    from ..utils.x64 import x64_safe_call
+    packed = x64_safe_call(lambda: _call_kernel(
+        cfg, r_block, n_blocks, Rp,
+        v0.astype(jnp.float32)[None, :],
+        s0.astype(jnp.float32)[None, :],
+        beta32, book0[None, :]))
 
     packed = packed[:R]
     last_ind = packed[:, 0:M].astype(jnp.int32)

@@ -52,6 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.x64 import x64_safe_call as _x64_safe_call
+
 MAX_TABLE = 65536         # tables beyond the unroll threshold use a rolled
 _UNROLL_CHUNKS = 32       # chunk loop (cost linear in n/128 — the in-vreg
 _LANE = 128               # gather unit permutes within 128 lanes, so chunk
@@ -63,19 +65,6 @@ def _pad_to(x: jax.Array, n: int, axis: int = 0) -> jax.Array:
     pad[axis] = (0, n - x.shape[axis])
     return jnp.pad(x, pad)
 
-
-
-def _x64_safe_call(call):
-    """Invoke a pallas_call with 32-bit trace semantics pinned.
-
-    Under ``jax_enable_x64`` Python-literal promotions inside kernel bodies
-    become int64/f64 ops, which Mosaic cannot lower (its 64->32-bit convert
-    helper recurses).  Every kernel here is f32/int32 by construction, so
-    tracing with x64 off is exact.
-    """
-    from jax._src.config import enable_x64 as _enable_x64
-    with _enable_x64(False):
-        return call()
 
 
 # --------------------------------------------------------------------- 1D

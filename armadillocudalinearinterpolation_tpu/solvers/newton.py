@@ -254,6 +254,9 @@ def newton_solve_host(
     n = x0.shape[0]
     dt_ = x0.dtype
     Fj = jax.jit(F)
+    # hoisted so exact mode traces/lowers the Jacobian program once, not
+    # once per iteration (a fresh jax.jit wrapper has an empty trace cache)
+    Jf = jax.jit(jax.jacfwd(Fj)) if cfg.fd_mode == "exact" else None
     eps = cfg.fd_epsilon
 
     if cfg.print_output:
@@ -273,7 +276,7 @@ def newton_solve_host(
         if jacobian_fn is not None:
             jac = jacobian_fn(x)
         elif cfg.fd_mode == "exact":
-            jac = jax.jit(jax.jacfwd(Fj))(x)
+            jac = Jf(x)
         elif serial_fd:
             cols = []
             basis = jnp.eye(n, dtype=dt_)
@@ -351,9 +354,12 @@ def frozen_jacobian_polish(
         x = best_x + damp * solve_dense(jacobian, -best_f)
     n = x0.shape[0]
     hist = jnp.full((max_iterations + 1,), jnp.nan, x0.dtype)
+    # converged means the tolerance was actually met; with the default
+    # tolerance=0.0 the polish is best-effort and reports not-converged
+    # (callers gate acceptance on this flag).
     return NewtonResult(
         solution=best_x,
-        converged=jnp.asarray(best_norm <= tolerance if tolerance else True),
+        converged=jnp.asarray(best_norm <= tolerance),
         iterations=jnp.int32(it), residual_norm=jnp.asarray(best_norm),
         residual_history=hist.at[0].set(best_norm), jacobian=jacobian,
         residual=best_f if best_f is not None else jnp.zeros((n,), x0.dtype))

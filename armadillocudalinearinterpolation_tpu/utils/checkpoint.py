@@ -49,33 +49,41 @@ class ContinuationCheckpoint:
                  solution=step.solution,
                  eigenvalues=(step.eigenvalues
                               if step.eigenvalues is not None else np.array([])))
-        # Crash-safe append: rewrite via temp file + atomic rename so a kill
-        # mid-write can never leave a truncated (unparseable) last line.
-        existing = ""
-        if self._index_file.exists():
-            existing = self._index_file.read_text()
-        tmp = self._index_file.with_suffix(".jsonl.tmp")
-        tmp.write_text(existing + json.dumps(rec) + "\n")
-        tmp.replace(self._index_file)
+        # Crash-safe O(1) append: write + flush + fsync per record; a kill
+        # mid-write can leave at most one truncated LAST line, which
+        # load_all skips (a crash between steps loses nothing).
+        import os
+        with open(self._index_file, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def load_all(self) -> list[ContinuationStep]:
         if not self._index_file.exists():
             return []
         by_index: dict[int, dict] = {}
-        with open(self._index_file) as f:
-            for lineno, line in enumerate(f):
-                if not line.strip():
+        lines = self._index_file.read_text().splitlines()
+        for lineno, line in enumerate(lines):
+            if not line.strip():
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError as e:
+                if lineno == len(lines) - 1:
+                    # truncated tail from a crash mid-append: the step it
+                    # described was not completed durably — resume redoes it
+                    import warnings
+                    warnings.warn(
+                        f"skipping truncated final line of "
+                        f"{self._index_file} (crash mid-append)")
                     continue
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError as e:
-                    raise ValueError(
-                        f"corrupt checkpoint index {self._index_file} at line "
-                        f"{lineno + 1}: {e}") from e
-                # Re-running a sweep into the same directory appends a fresh
-                # record per index; the latest write wins (its .npz is the
-                # one on disk).
-                by_index[int(rec["index"])] = rec
+                raise ValueError(
+                    f"corrupt checkpoint index {self._index_file} at line "
+                    f"{lineno + 1}: {e}") from e
+            # Re-running a sweep into the same directory appends a fresh
+            # record per index; the latest write wins (its .npz is the
+            # one on disk).
+            by_index[int(rec["index"])] = rec
         steps = []
         for index in sorted(by_index):
             rec = by_index[index]

@@ -391,13 +391,22 @@ def main():
     except Exception as e:
         extras["newton_error"] = str(e)[:200]
 
-    print(json.dumps(extras), file=sys.stderr)
-    print(json.dumps({
+    def _json_safe(d):
+        # a NaN metric (invalid timing, see profiling.chained_slope) must
+        # not make the whole record unparseable: json.dumps would emit the
+        # non-standard token NaN — serialise null for that one field instead
+        import math
+        return {k: (None if isinstance(v, float) and not math.isfinite(v)
+                    else v) for k, v in d.items()}
+
+    print(json.dumps(_json_safe(extras)), file=sys.stderr)
+    ok = qps is not None and np.isfinite(qps) and np.isfinite(s_xla or np.nan)
+    print(json.dumps(_json_safe({
         "metric": "batched_2d_bilinear_interp",
-        "value": round(qps / 1e6, 1) if qps else 0.0,
+        "value": round(qps / 1e6, 1) if ok else 0.0,
         "unit": "Mqueries/s",
-        "vs_baseline": round(s_xla / s_pallas, 2) if qps else 0.0,
-    }))
+        "vs_baseline": round(s_xla / s_pallas, 2) if ok else 0.0,
+    })))
 
 
 if __name__ == "__main__":
