@@ -80,3 +80,29 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(last.solution, np.arange(3.0))
     np.testing.assert_array_equal(last.eigenvalues, np.array([1 + 1j, 2, 3]))
     assert ContinuationCheckpoint(tmp_path / "empty").last() is None
+
+
+def test_checkpoint_tolerates_truncated_tail(tmp_path):
+    """A crash mid-append leaves one truncated final line; load_all skips it
+    (the step wasn't durably recorded) instead of bricking --resume."""
+    import warnings
+    from armadillocudalinearinterpolation_tpu.utils.checkpoint import (
+        ContinuationCheckpoint, ContinuationStep)
+    ck = ContinuationCheckpoint(tmp_path / "c")
+    ck.save(ContinuationStep(index=0, beta=13.0, solution=np.zeros(3),
+                             residual_norm=1e-9, converged=True))
+    ck.save(ContinuationStep(index=1, beta=13.1, solution=np.ones(3),
+                             residual_norm=1e-9, converged=True))
+    # simulate a crash mid-append of step 2
+    with open(tmp_path / "c" / "steps.jsonl", "a") as f:
+        f.write('{"index": 2, "beta":')
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        steps = ck.load_all()
+    assert [s.index for s in steps] == [0, 1]
+    # mid-file corruption is still a hard error
+    lines = (tmp_path / "c" / "steps.jsonl").read_text().splitlines()
+    (tmp_path / "c" / "steps.jsonl").write_text(
+        lines[2] + "\n" + lines[0] + "\n")
+    with pytest.raises(ValueError, match="corrupt"):
+        ck.load_all()
