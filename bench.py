@@ -60,8 +60,12 @@ def bench_bilinear2d():
             return run
         return make
 
+    # wide K spread: at ~2-3 ms/iter the device signal must dominate the
+    # tunnel's ~0.5-1 ms min-to-min RTT jitter, or the fitted slope can
+    # overshoot physical peak (a >100% MFU reading is a measurement bug)
     s_pallas = _slope(chained(
-        lambda p: interp_pallas.bilinear_batched(p, grids)), reps=5, stat=np.min)
+        lambda p: interp_pallas.bilinear_batched(p, grids)),
+        k_lo=1, k_hi=17, reps=5, stat=np.min)
     s_xla = _slope(chained(
         lambda p: interp.bilinear_batched(p, grids)), k_lo=1, k_hi=2, reps=2,
         stat=np.min)
