@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial arclength step (adaptive)")
     p.add_argument("--direction", type=float, default=1.0,
                    help="+1: start toward increasing beta; -1: decreasing")
+    p.add_argument("--arc-param", choices=["beta", "sigma"], default="beta",
+                   help="arclength continuation axis: walk beta holding "
+                        "--sigma fixed, or walk sigma holding --beta fixed")
     p.add_argument("--allow-branch-jump", action="store_true",
                    help="disable the corrector step-distance guard: near a "
                         "fold Newton may tunnel to a different solution "
@@ -274,17 +277,30 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
             d = yb - ya
             tangent0 = d / np.linalg.norm(d)
 
+    # On a sigma-axis walk the checkpointed 'beta' field holds the walked
+    # sigma value: a resumed start value lives in `beta`, the held mean rate
+    # stays args.beta.
+    if args.arc_param == "sigma":
+        sigma0 = beta if start > 0 else args.sigma
+        beta_held = args.beta
+        walk_beta0, walk_sigma = beta_held, sigma0
+    else:
+        walk_beta0, walk_sigma = beta, args.sigma
+
     def on_step(i, step):
         b = float(step.y[-1])
         sol = np.asarray(step.y[:-1])
-        print(f"arc step {start + i}: beta={b:.4f} "
+        print(f"arc step {start + i}: {args.arc_param}={b:.4f} "
               f"iters={int(step.iterations)} "
               f"|r|={float(step.residual_norm):.3e} "
               f"Z={np.array2string(sol, precision=5)}")
         n_unstable = None
         eigenvalues = None
         if args.stability:
-            params = MapParams.create(b, args.sigma, dtype=args.dtype)
+            if args.arc_param == "sigma":
+                params = MapParams.create(args.beta, b, dtype=args.dtype)
+            else:
+                params = MapParams.create(b, args.sigma, dtype=args.dtype)
             ev = compute_eigenvalues(
                 make_residual_fn(cfg, params, key), step.y[:-1],
                 ProblemType.EQUATION_FREE, epsilon=args.fd_eps)
@@ -300,8 +316,8 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
                 eigenvalues=eigenvalues))
 
     steps = continue_branch(
-        cfg, key, Z, beta, sigma=args.sigma, ds=args.ds,
-        n_steps=args.steps, direction=args.direction, ncfg=ncfg,
+        cfg, key, Z, walk_beta0, sigma=walk_sigma, param=args.arc_param,
+        ds=args.ds, n_steps=args.steps, direction=args.direction, ncfg=ncfg,
         evolve_backend=backend,
         max_step_factor=None if args.allow_branch_jump else 4.0,
         tangent0=tangent0, callback=on_step)
