@@ -10,8 +10,11 @@ v5e chip against the XLA gather lowering (chained-iteration timing, see
     unit's algorithmic floor)
   * ``make_interp1d`` (non-uniform nodes): ~0.35 Gq/s, exact vs the XLA
     searchsorted semantics
-  * ``bilinear_batched``: ~0.39 Gq/s vs 0.016 Gq/s XLA (bf16x2 mode — at
-    the MXU-FLOP-bound ceiling of the algorithm: 4 H*W MACs/query)
+  * ``bilinear_batched``: ~0.33 Gq/s vs 0.018 Gq/s XLA at 256x256 (full
+    tent kernel, bf16x2, ~65% MFU — the MXU-FLOP bound of the all-rows
+    algorithm: 4 H*W MACs/query); ~0.17 Gq/s at 1024x1024 via the 2D-binned
+    path (21x XLA; the full kernel exceeds scoped VMEM past ~512x512),
+    near-flat in grid size
   * ``bilinear_batched_f64``: ~5x the XLA emulated-f64 path at full f64
     accuracy (hi/lo-split corner gather + exact f64 blend)
 
@@ -36,6 +39,14 @@ the grid and the weights are split into high/low bf16 parts (three matmuls);
 ``precision='bf16'`` drops the low parts (one matmul, ~2.4x faster, ~1e-2
 absolute error).  The high part is built by mantissa masking because
 ``--xla_allow_excess_precision`` folds ``x - bf16(x)`` to zero.
+
+**2D bilinear, large grids** (``method='binned'``) — the full kernel's MAC
+count and VMEM footprint grow with H*W; past ~512x512 it stops compiling.
+The binned path sorts queries into ~120x120 grid bins (ONE bitonic sort —
+on TPU any per-element gather/scatter is ~11 ns/element serial, while sort
+moves ~1 M elements/0.6 ms) and runs each bin's queries against its 128x128
+window: full-K MXU tiles, cost per query independent of grid size.  A
+second sort restores query order.  See :func:`_bilinear_binned_kernel`.
 
 The reference's restriction lerp (``/root/reference/EventDrivenMap.cu:769-785``)
 is tiny; these kernels serve the standalone batched-interpolation capability
@@ -434,6 +445,205 @@ def bilinear_batched_f64(pts: jax.Array, grids: jax.Array,
     return top + tr * (bot - top)
 
 
+# ------------------------------------------------------------ 2D, binned
+
+_BIN_WIN = 128       # window per bin = one full-K MXU tile per grid axis
+_BIN_MAX_EDGE = 120  # max bin extent; +1 tent overlap fits the 128 window
+
+
+def _bilinear_binned_kernel(q_count: int, bits: int, gmax: int, nbc: int,
+                            be_r: int, be_c: int, x2: bool,
+                            key_ref, r_ref, c_ref, offs_ref, gstart_ref,
+                            ghT_ref, glT_ref, val_ref, qid_ref):
+    """One grid step = one (batch, bin): the bin's queries vs its 128x128
+    grid window.
+
+    The bin's queries live at rows ``[offsets[bin], offsets[bin+1])`` of the
+    bin-sorted arrays — extracted with dynamic sublane slices + lane rolls
+    (measured on v5e: any XLA per-element gather/scatter runs ~11 ns/element
+    serial, 100x too slow, so ALL data movement is sorts outside + in-VMEM
+    shuffles here).  The group loop is a *dynamic* ``fori_loop`` over exactly
+    ``ceil(count/128)`` groups — no static per-bin capacity, so ANY query
+    distribution (including all queries in one bin) is handled exactly, with
+    no fallback branch.  (A ``lax.cond`` fallback is not an option anyway:
+    XLA on TPU flattens conditionals, executing both branches — measured
+    11x the whole kernel.)  Each group writes to output rows
+    ``gstart[bin] + i``, where ``gstart`` is the exclusive cumsum of
+    per-bin group counts; bin 0 pre-fills the whole per-batch block with
+    sentinel rows first (the TPU grid is sequential, so ordering is safe).
+
+    Tent weights over the window make both grid axes MXU operands:
+    ``rowsT (128c,128q) = gridT (128c,128r) @ wr (128r,128q)`` with K = 128
+    — a full systolic tile, unlike a thin per-band slab.  Queries stay on
+    lanes end-to-end: no transposes.
+    """
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    off = offs_ref[b, k]
+    cnt = offs_ref[b, k + 1] - off
+    gs = gstart_ref[b, k]
+    rb = (k // nbc) * be_r
+    cb = jnp.mod(k, nbc) * be_c
+    ghT = ghT_ref[0, 0]
+    glT = glT_ref[0, 0] if x2 else None
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0).astype(
+        jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    @pl.when(k == 0)
+    def _():
+        # sentinel-fill the per-batch output block; rows a bin owns are
+        # overwritten below, rows beyond the last group stay sentinels
+        val_ref[:] = jnp.zeros((1, gmax, _LANE), jnp.float32)
+        qid_ref[:] = jnp.full((1, gmax, _LANE), q_count, jnp.int32)
+
+    def group(i, carry):
+        base = off + i * _LANE
+        row = jax.lax.shift_right_logical(base, 7)
+        sh = jax.lax.bitwise_and(base, _LANE - 1)
+        back = jnp.mod(_LANE - sh, _LANE)         # roll[i] = orig[(i+sh)%128]
+
+        def extract(ref):
+            two = ref[0, pl.ds(row, 2), :]
+            a = pltpu.roll(two[0:1, :], back, 1)
+            bb = pltpu.roll(two[1:2, :], back, 1)
+            return jnp.where(lane < _LANE - sh, a, bb)
+
+        key = extract(key_ref)
+        r = extract(r_ref)                         # pre-clipped global coords
+        c = extract(c_ref)
+        valid = i * _LANE + lane < cnt
+        iq = jax.lax.bitwise_and(key, (1 << bits) - 1)
+        # invalid slots -> coord -2: tent weights identically zero
+        r_loc = jnp.where(valid, r - rb, -2.0)
+        c_loc = jnp.where(valid, c - cb, -2.0)
+        wr = jnp.maximum(0.0, 1.0 - jnp.abs(iota_s - r_loc))  # (128r, 128q)
+        wc = jnp.maximum(0.0, 1.0 - jnp.abs(iota_s - c_loc))  # (128c, 128q)
+        wh = wr.astype(jnp.bfloat16)
+        rowsT = jnp.dot(ghT, wh, preferred_element_type=jnp.float32)
+        if x2:
+            wl = (wr - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            rowsT = (rowsT
+                     + jnp.dot(glT, wh, preferred_element_type=jnp.float32)
+                     + jnp.dot(ghT, wl, preferred_element_type=jnp.float32))
+        orow = pl.ds(gs + i, 1)
+        val_ref[0, orow, :] = jnp.sum(rowsT * wc, axis=0, keepdims=True)
+        qid_ref[0, orow, :] = jnp.where(valid, iq, q_count)
+        return carry
+
+    n_groups = jax.lax.shift_right_logical(cnt + _LANE - 1, 7)
+    jax.lax.fori_loop(0, n_groups, group, 0)
+
+
+def _bilinear_binned(pts: jax.Array, grids: jax.Array, x2: bool
+                     ) -> jax.Array:
+    """2D-binned bilinear: sort queries into grid bins (~120x120), run each
+    bin's queries against its 128x128 window (full-K MXU tiles).
+
+    MACs/query = ``3 * 128 * 128`` independent of grid size — vs the full
+    kernel's ``3 * Hp * Wp``, which exceeds this beyond 128x128 grids and
+    runs out of VMEM beyond ~512x512.  Everything outside the kernel is
+    sorts (bitonic, ~0.6 ms/M elements on v5e) — never per-element
+    gathers/scatters (~11 ns/element serial on TPU).  Bin extents divide the
+    grid evenly (max 120) so uniform queries load bins uniformly.
+    """
+    B, Q, _ = pts.shape
+    _, H, W = grids.shape
+    nbr = max(1, -(-max(H - 1, 1) // _BIN_MAX_EDGE))
+    nbc = max(1, -(-max(W - 1, 1) // _BIN_MAX_EDGE))
+    be_r = -(-max(H - 1, 1) // nbr)              # even spread, <= 120
+    be_c = -(-max(W - 1, 1) // nbc)
+    nbins = nbr * nbc
+    bits = max(1, (Q - 1).bit_length())
+    if (nbins << bits) >= 2 ** 31:
+        raise ValueError(f"bin-key overflow: {nbins} bins x {Q} queries")
+    # exact total group bound: Q/128 full groups + one partial per bin
+    gmax = -(-Q // _LANE) + nbins
+
+    r = jnp.clip(pts[..., 0].astype(jnp.float32), 0.0, H - 1.0)
+    c = jnp.clip(pts[..., 1].astype(jnp.float32), 0.0, W - 1.0)
+    r0 = jnp.clip(r.astype(jnp.int32), 0, H - 2)
+    c0 = jnp.clip(c.astype(jnp.int32), 0, W - 2)
+    bin_id = (jnp.minimum(r0 // be_r, nbr - 1) * nbc
+              + jnp.minimum(c0 // be_c, nbc - 1))            # (B, Q)
+    iq = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (B, Q))
+    key = jax.lax.shift_left(bin_id, jnp.int32(bits)) | iq
+    key_s, r_s, c_s = jax.lax.sort((key, r, c), dimension=1, num_keys=1)
+
+    edges = jax.lax.shift_left(jnp.arange(nbins + 1, dtype=jnp.int32),
+                               jnp.int32(bits))
+    offsets = jax.vmap(
+        lambda row: jnp.searchsorted(row, edges, side="left"))(
+            key_s).astype(jnp.int32)                         # (B, nbins+1)
+    counts = offsets[:, 1:] - offsets[:, :-1]
+    ngrp = -(-counts // _LANE)                               # ceil
+    gstart = (jnp.cumsum(ngrp, axis=1) - ngrp).astype(jnp.int32)
+
+    # pad the sorted arrays so every dynamic 2-row read is in bounds
+    rows_in = -(-Q // _LANE) + 2
+    key_p = _pad_to(key_s, rows_in * _LANE, axis=1).reshape(B, rows_in, _LANE)
+    r_p = _pad_to(r_s, rows_in * _LANE, axis=1).reshape(B, rows_in, _LANE)
+    c_p = _pad_to(c_s, rows_in * _LANE, axis=1).reshape(B, rows_in, _LANE)
+
+    # 128x128 grid windows, transposed to (cols, rows), hi/lo bf16 split.
+    # Built from full-row/-col slabs (static slices + one transpose — no
+    # element gathers).
+    Hp = (nbr - 1) * be_r + _BIN_WIN
+    Wp = (nbc - 1) * be_c + _BIN_WIN
+    g32 = jnp.pad(grids.astype(jnp.float32),
+                  ((0, 0), (0, Hp - H), (0, Wp - W)))
+    rws = jnp.stack([g32[:, k * be_r:k * be_r + _BIN_WIN, :]
+                     for k in range(nbr)], axis=1)           # (B,nbr,128,Wp)
+    gT = jnp.swapaxes(rws, 2, 3)                             # (B,nbr,Wp,128)
+    win = jnp.stack([gT[:, :, k * be_c:k * be_c + _BIN_WIN, :]
+                     for k in range(nbc)], axis=2)    # (B,nbr,nbc,128c,128r)
+    win = win.reshape(B, nbins, _BIN_WIN, _BIN_WIN)
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(win, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32)
+    ghT = hi.astype(jnp.bfloat16)
+    glT = ((win - hi).astype(jnp.bfloat16) if x2
+           else jnp.zeros((B, nbins, 8, _LANE), jnp.bfloat16))
+    glT_block = (1, 1, _BIN_WIN, _BIN_WIN) if x2 else (1, 1, 8, _LANE)
+
+    val, qid = _x64_safe_call(lambda: pl.pallas_call(
+        functools.partial(_bilinear_binned_kernel, Q, bits, gmax, nbc,
+                          be_r, be_c, x2),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, gmax, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((B, gmax, _LANE), jnp.int32),
+        ),
+        grid=(B, nbins),
+        in_specs=[
+            pl.BlockSpec((1, rows_in, _LANE), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_in, _LANE), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_in, _LANE), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # offsets, whole array
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # gstart, whole array
+            pl.BlockSpec((1, 1, _BIN_WIN, _BIN_WIN), lambda b, k: (b, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(glT_block, lambda b, k: (b, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, gmax, _LANE), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gmax, _LANE), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(key_p, r_p, c_p, offsets, gstart,
+      ghT, glT.reshape((B, nbins) + glT.shape[-2:])))
+
+    # unbin: ONE bitonic sort by original query index; sentinels (q_count)
+    # sort past the tail we keep
+    _, out_sorted = jax.lax.sort(
+        (qid.reshape(B, -1), val.reshape(B, -1)), dimension=1, num_keys=1)
+    return out_sorted[:, :Q]
+
+
 # --------------------------------------------------------------------- 2D
 
 _SUB = 8  # query sub-tiles per grid step (each 128 queries along sublanes)
@@ -470,9 +680,10 @@ def _bilinear_kernel2(h: int, w: int, hp: int, wp: int, x2: bool,
     out_ref[0, 0] = jnp.concatenate(cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
+@functools.partial(jax.jit, static_argnames=("precision", "method"))
 def bilinear_batched(pts: jax.Array, grids: jax.Array,
-                     precision: Literal["bf16x2", "bf16"] = "bf16x2"
+                     precision: Literal["bf16x2", "bf16"] = "bf16x2",
+                     method: Literal["auto", "full", "binned"] = "auto"
                      ) -> jax.Array:
     """Batched 2D bilinear lookup, Pallas MXU fast path.
 
@@ -480,7 +691,29 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     ``pts (B, Q, 2)`` index-space queries (clamped), ``grids (B, H, W)`` of
     any shape (zero-padded to hardware tiling internally — exact, see the
     kernel comment).
+
+    ``method='full'`` runs every query against the whole grid (tent-weight
+    MXU matmuls, ~65% MFU) — optimal up to ~256x256, VMEM-bound beyond
+    ~512x512.  ``method='binned'`` sorts queries into 120x120 bins and runs
+    128x128 windows (:func:`_bilinear_binned`) — flat cost in grid size.
+    ``'auto'`` picks by grid area.
     """
+    B, Q, _ = pts.shape
+    _, H, W = grids.shape
+    if method == "auto":
+        # full's MAC count passes binned's fixed 3*128*128/query at ~180^2,
+        # but its ~65% MFU beats binned's sort overhead until the grid no
+        # longer fits comfortably in VMEM alongside the query blocks
+        method = "binned" if (H + 127) // 128 * ((W + 127) // 128) > 16 \
+            else "full"
+    if method == "binned":
+        return _bilinear_binned(pts, grids, precision == "bf16x2"
+                                ).astype(grids.dtype)
+    return _bilinear_full(pts, grids, precision == "bf16x2"
+                          ).astype(grids.dtype)
+
+
+def _bilinear_full(pts: jax.Array, grids: jax.Array, x2: bool) -> jax.Array:
     B, Q, _ = pts.shape
     _, H, W = grids.shape
     # Zero-pad the grid to hardware tiling.  This is exact: query coords are
@@ -508,7 +741,6 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
         jax.lax.bitcast_convert_type(g32, jnp.uint32) & jnp.uint32(0xFFFF0000),
         jnp.float32)
     gh = hi.astype(jnp.bfloat16)            # exact: low mantissa bits are zero
-    x2 = precision == "bf16x2"
     # In 'bf16' mode the kernel never reads the low part: ship a tiny dummy
     # block instead of computing and streaming a second full grid.
     gl = ((g32 - hi).astype(jnp.bfloat16) if x2
@@ -532,5 +764,4 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
         out_specs=pl.BlockSpec((1, 1, _LANE, _SUB), lambda b, s: (b, s, 0, 0),
                                memory_space=pltpu.VMEM),
     )(gh, gl, rT, cT))
-    out = jnp.swapaxes(out, 2, 3).reshape(B, S * block)[:, :Q]
-    return out.astype(grids.dtype)
+    return jnp.swapaxes(out, 2, 3).reshape(B, S * block)[:, :Q]

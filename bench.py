@@ -202,6 +202,45 @@ def bench_bilinear2d_f64():
     return B * Q / s_xla, err, B * Q / s_pal, err_p
 
 
+def bench_bilinear2d_binned_1024():
+    """Grid-size scaling leg of config 2: 8 grids of 1024x1024, 1M queries.
+
+    Past ~512x512 the full tent kernel exceeds TPU scoped VMEM; the
+    2D-binned path (sort queries into ~120x120 bins, each bin one 128x128
+    full-K MXU tile, dynamic group loop — ops/interp_pallas.py) keeps
+    near-flat per-query cost in grid size.
+    """
+    from armadillocudalinearinterpolation_tpu.ops import interp, interp_pallas
+
+    B, H, W = 8, 1024, 1024
+    Q = 1_048_576 // B
+    grids = jax.random.normal(jax.random.PRNGKey(8), (B, H, W), jnp.float32)
+    pts0 = jax.random.uniform(jax.random.PRNGKey(9), (B, Q, 2), jnp.float32,
+                              0.0, float(H) - 1.0)
+    err = float(jnp.max(jnp.abs(
+        interp_pallas.bilinear_batched(pts0, grids, method="binned")
+        - interp.bilinear_batched(pts0, grids))))
+
+    def chained(op):
+        def make(K):
+            @jax.jit
+            def run():
+                def body(_, p):
+                    out = op(p)
+                    r = (out * 977.0) % (H - 1.0)
+                    return jnp.stack([r, (r * 1.7) % (W - 1.0)], axis=-1)
+                return jnp.sum(jax.lax.fori_loop(0, K, body, pts0))
+            return run
+        return make
+
+    s_binned = _slope(chained(
+        lambda p: interp_pallas.bilinear_batched(p, grids, method="binned")),
+        k_lo=1, k_hi=9, reps=5, stat=np.min)
+    s_xla = _slope(chained(lambda p: interp.bilinear_batched(p, grids)),
+                   k_lo=1, k_hi=2, reps=2, stat=np.min)
+    return B * Q / s_binned, s_binned, s_xla, err
+
+
 def bench_pallas_parity():
     """VERDICT #2: driver-captured Pallas-vs-XLA evolve parity on real TPU.
 
@@ -363,6 +402,15 @@ def main():
         extras["interp1d_nonuniform_maxerr"] = errnu
     except Exception as e:
         extras["interp1d_nonuniform_error"] = str(e)[:200]
+
+    try:
+        q1k, s1k, s1k_xla, err1k = bench_bilinear2d_binned_1024()
+        extras["bilinear2d_1024_binned_qps"] = round(q1k / 1e6, 1)
+        extras["bilinear2d_1024_binned_ms"] = round(s1k * 1e3, 3)
+        extras["bilinear2d_1024_vs_xla"] = round(s1k_xla / s1k, 1)
+        extras["bilinear2d_1024_maxerr"] = err1k
+    except Exception as e:
+        extras["bilinear2d_1024_error"] = str(e)[:200]
 
     try:
         d_px, d_wf, d_p64, d_x64 = bench_pallas_parity()

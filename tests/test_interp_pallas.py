@@ -135,6 +135,53 @@ def test_interp1d_nonuniform_dense_cluster():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_bilinear_binned_matches_reference():
+    """2D-binned path (sort + per-bin 128x128 windows) vs the XLA oracle,
+    including out-of-range queries and a grid that isn't a bin multiple."""
+    B, H, W, Q = 2, 300, 260, 9000
+    grids = jax.random.normal(jax.random.PRNGKey(31), (B, H, W), jnp.float32)
+    pts = jax.random.uniform(jax.random.PRNGKey(32), (B, Q, 2), jnp.float32,
+                             -3.0, float(H) + 3.0)
+    got = interp_pallas.bilinear_batched(pts, grids, method="binned")
+    want = interp.bilinear_batched(pts, grids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_bilinear_binned_adversarial_clustering():
+    """All queries in ONE bin: the dynamic group loop (no static per-bin
+    capacity) must stay exact — the failure mode of capacity-based binning."""
+    B, H, W, Q = 1, 256, 256, 4096
+    grids = jax.random.normal(jax.random.PRNGKey(33), (B, H, W), jnp.float32)
+    pts = jax.random.uniform(jax.random.PRNGKey(34), (B, Q, 2), jnp.float32,
+                             40.0, 41.0)
+    got = interp_pallas.bilinear_batched(pts, grids, method="binned")
+    want = interp.bilinear_batched(pts, grids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_bilinear_auto_dispatch_large_grid():
+    """auto picks the binned path for grids past the full kernel's VMEM
+    comfort zone; results match the oracle."""
+    B, H, W, Q = 1, 700, 650, 5000
+    grids = jax.random.normal(jax.random.PRNGKey(35), (B, H, W), jnp.float32)
+    pts = jax.random.uniform(jax.random.PRNGKey(36), (B, Q, 2), jnp.float32,
+                             0.0, float(H) - 1.0)
+    got = interp_pallas.bilinear_batched(pts, grids)   # method='auto'
+    want = interp.bilinear_batched(pts, grids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_bilinear_binned_single_bin_grid():
+    """Grids smaller than one window (1x1 bins) still work via binned."""
+    B, H, W, Q = 1, 64, 96, 2000
+    grids = jax.random.normal(jax.random.PRNGKey(37), (B, H, W), jnp.float32)
+    pts = jax.random.uniform(jax.random.PRNGKey(38), (B, Q, 2), jnp.float32,
+                             -2.0, float(H) + 2.0)
+    got = interp_pallas.bilinear_batched(pts, grids, method="binned")
+    want = interp.bilinear_batched(pts, grids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_bilinear_f64_matches_host_double():
     B, H, W = 2, 64, 96
     grids = jax.random.normal(jax.random.PRNGKey(21), (B, H, W), jnp.float64)
