@@ -40,6 +40,8 @@ from .analysis.stability import (
     num_unstable_eigenvalues,
     fd_jacobian,
 )
+from .analysis.continuation import continue_branch, ArcStep
+from .analysis.branches import enumerate_branches, Branch
 
 __version__ = "0.1.0"
 
@@ -70,4 +72,8 @@ __all__ = [
     "compute_eigenvalues",
     "num_unstable_eigenvalues",
     "fd_jacobian",
+    "continue_branch",
+    "ArcStep",
+    "enumerate_branches",
+    "Branch",
 ]

@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the corrector step-distance guard: near a "
                         "fold Newton may tunnel to a different solution "
                         "branch (branch-discovery mode)")
+    p.add_argument("--enumerate-branches", action="store_true",
+                   help="systematic branch-switching enumeration: walk the "
+                        "seed branch both ways (guarded), probe each branch "
+                        "end with unguarded discovery steps, and walk every "
+                        "new family found; --steps bounds each walk")
+    p.add_argument("--max-branches", type=int, default=4,
+                   help="walk budget for --enumerate-branches")
     return p
 
 
@@ -194,6 +201,8 @@ def _run(args) -> int:
         dump_map_stages(cfg, params, key, Z, args.debug_dump)
         print(f"stage dumps written to {args.debug_dump}/")
 
+    if args.enumerate_branches:
+        return run_enumerate(args, cfg, ncfg, key, Z, beta)
     if args.arclength:
         return run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start)
 
@@ -251,6 +260,45 @@ def _run(args) -> int:
         Z = res.solution
         key, _ = jax.random.split(key)
 
+    return 0
+
+
+def run_enumerate(args, cfg, ncfg, key, Z, beta) -> int:
+    """Branch-switching enumeration (``--enumerate-branches``)."""
+    import os
+
+    from ..analysis.branches import enumerate_branches
+
+    backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
+    beta0, sigma = ((beta, args.sigma) if args.arc_param == "beta"
+                    else (args.beta, args.sigma))
+
+    def on_step(b, i, step):
+        print(f"branch {b} step {i}: {args.arc_param}={float(step.y[-1]):.4f}"
+              f" iters={int(step.iterations)}"
+              f" |r|={float(step.residual_norm):.3e}"
+              f" Z={np.array2string(np.asarray(step.y[:-1]), precision=5)}",
+              flush=True)
+
+    branches = enumerate_branches(
+        cfg, key, Z, beta0, sigma=sigma, param=args.arc_param, ds=args.ds,
+        n_steps=args.steps, ncfg=ncfg, evolve_backend=backend,
+        max_branches=args.max_branches,
+        callback=None if args.quiet else on_step)
+
+    for b, br in enumerate(branches):
+        end = "step limit" if br.hit_step_limit else "branch end"
+        p, c = br.points[:, -1], br.points[:, 0]
+        print(f"branch {b} [{br.origin}]: {len(br.points)} points, "
+              f"{args.arc_param} in [{p.min():.4f}, {p.max():.4f}], "
+              f"c in [{c.min():.4f}, {c.max():.4f}] ({end})")
+        if args.checkpoint:
+            os.makedirs(args.checkpoint, exist_ok=True)
+            np.savez(os.path.join(args.checkpoint, f"branch_{b}.npz"),
+                     points=br.points, origin=br.origin,
+                     hit_step_limit=br.hit_step_limit)
+    if args.checkpoint:
+        print(f"branches written to {args.checkpoint}/branch_*.npz")
     return 0
 
 

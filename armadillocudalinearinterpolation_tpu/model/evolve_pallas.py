@@ -27,10 +27,17 @@ Design notes:
     index-where-equal) — the Mosaic-friendly form of the reference's
     warp-shuffle min-with-argmin (``:843-881``).
   * With ``cfg.evolve_window > 0`` the per-event root-find runs on a
-    W-lane cyclic window (``pltpu.roll``) around the wave packet, certified
-    exact per event by a closed-form lower bound on out-of-window crossing
-    times with a ``lax.cond`` full-evaluation fallback — ~3.2x at reference
-    scale, identical results (see ``select_event_windowed``).
+    W-lane cyclic window around the wave packet, certified exact per event
+    by a closed-form lower bound on out-of-window crossing times with a
+    ``lax.cond`` full-evaluation fallback — ~3.2x at reference scale,
+    identical results (see ``select_event_windowed``).
+  * The state arrays are kept *persistently rolled* so the window is always
+    the static slice ``[0, W)``: re-rolling happens only when the wave has
+    travelled ``_SLACK`` lanes past the window anchor (every ~50 events),
+    not per event.  Measured per-event cost at N=1024, R=128/block was 34%
+    dynamic rolls before this; the re-roll is predicated with ``pl.when``
+    so off-events pay nothing.  The certificate logic is unchanged, so the
+    windowed path stays certified-exact.
 
 Packed output layout per realisation row (f32; indices exact below 2^24):
 ``[0:M] last_ind  [M:2M] last_t  [2M:3M] crossed_ind  [3M:4M] crossed_t
@@ -71,7 +78,7 @@ def _r_block(n_neurons: int) -> int:
 
 
 def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
-                   book0_ref, out_ref, v_s, s_s, t_s):
+                   book0_ref, out_ref, v_s, s_s, t_s, b_s=None):
     N = cfg.n_neurons
     M = cfg.n_spikes
     T = jnp.float32(cfg.t_horizon)
@@ -81,13 +88,34 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
     dx = jnp.float32(cfg.dx)
     R = r_block
 
-    # ---- state init (VMEM refs; the reference's shared-memory load, :591-599)
-    v_s[:] = jnp.broadcast_to(v0_ref[:], (R, N))
-    s_s[:] = jnp.broadcast_to(s0_ref[:], (R, N))
-    t_s[:] = jnp.zeros((R, N), jnp.float32)
+    W = int(cfg.evolve_window)
+    use_window = 0 < W < N
+    PAD_B = min(64, W // 4) if use_window else 0
+    # Re-roll hysteresis: state stays rolled until the trailing spike has
+    # advanced SLACK lanes past the anchor, shrinking the window's front
+    # margin by at most SLACK lanes between re-rolls (certificate-guarded).
+    SLACK = PAD_B // 2
 
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
     out_ref[:] = jnp.broadcast_to(book0_ref[:], (R, _LANE))
+
+    # ---- state init (VMEM refs; the reference's shared-memory load, :591-599)
+    if use_window:
+        # persistent rolled coordinates: rolled[i] = orig[(i + off) % N],
+        # anchored so the root-find window is always the slice [0, W)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+        lo0 = jnp.min(jnp.where(lane1 < M, book0_ref[:],
+                                jnp.float32(jnp.inf))).astype(jnp.int32)
+        off0 = jnp.mod(lo0 - PAD_B, N)
+        shift0 = jnp.mod(N - off0, N)
+        v_s[:] = jnp.broadcast_to(pltpu.roll(v0_ref[:], shift0, 1), (R, N))
+        s_s[:] = jnp.broadcast_to(pltpu.roll(s0_ref[:], shift0, 1), (R, N))
+        b_s[:] = pltpu.roll(beta_ref[:], shift0, 1)
+    else:
+        off0 = jnp.int32(0)
+        v_s[:] = jnp.broadcast_to(v0_ref[:], (R, N))
+        s_s[:] = jnp.broadcast_to(s0_ref[:], (R, N))
+    t_s[:] = jnp.zeros((R, N), jnp.float32)
 
     def b2f(pred):
         """bool -> f32 via select: Mosaic's bool convert helper recurses
@@ -132,6 +160,10 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
             return jnp.logical_and(unconv, k < cfg.counter_max)
 
         def body(c):
+            # NOTE: pair-stepping (two masked updates per convergence
+            # check) was measured to exceed the 16M scoped-VMEM stack at
+            # r_block=128 x N=1024 — the duplicated _f_df body doubles the
+            # live vector temporaries.  Keep one update per check.
             tt, ff, dff, k = c
             active = jnp.abs(ff) > tol
             tt = jnp.where(active, tt - ff / dff, tt)
@@ -152,21 +184,20 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         t_row = t_s[:, 0:1]
         return jnp.logical_and(~all_crossed, t_row < 2.0 * T)   # (R, 1)
 
-    def loop_cond(n_live):
-        return n_live > 0.5
+    def loop_cond(carry):
+        return carry[0] > 0.5
 
     def select_event_full(v, s, beta):
-        """Exact next-event over all N lanes: (dt, j) as (R, 1) columns."""
+        """Exact next-event over all N lanes: (dt, j) as (R, 1) columns.
+
+        ``j`` is a lane index into the arrays as given (rolled coordinates
+        when the windowed path calls this as its fallback)."""
         times = event_time(v, s, beta)                      # (R, N)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
         dtc = jnp.min(times, axis=1, keepdims=True)
         jc = jnp.min(jnp.where(times == dtc, lane_i, N), axis=1,
                      keepdims=True)                         # lowest-index min
         return dtc, jc
-
-    W = int(cfg.evolve_window)
-    use_window = 0 < W < N
-    PAD_B = min(64, W // 4) if use_window else 0
 
     def select_event_windowed(v, s, beta):
         """Windowed next-event with an exact certificate.
@@ -179,6 +210,10 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         for, which the reference does NOT have (it pays all-threads cost,
         ``EventDrivenMap.cu:605-609``).
 
+        The caller keeps ``v``/``s``/``beta`` persistently rolled so the
+        window is the static slice ``[0, W)`` — no per-event data movement;
+        the ring wrap-around is absorbed into the standing roll offset.
+
         Exactness: for every out-of-window lane a closed-form lower bound on
         its crossing time follows from the ODE comparison ``v' <= -v + I +
         max(s,0)`` (synapses only decay between kicks):
@@ -189,37 +224,26 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         event IS the global one; otherwise (rare: packet escaping the
         window) the block falls back to the full evaluation for this event
         via ``lax.cond`` — so results match the full kernel up to
-        window-boundary ties.  ``pltpu.roll`` makes the window cyclic, so
-        ring wrap-around needs no special casing.
+        window-boundary ties.
         """
-        book = out_ref[:]
-        last_cols = jnp.where(lane_o < M, book, jnp.float32(jnp.inf))
-        lo = jnp.min(last_cols)                 # trailing spike index (block)
-        l0 = jnp.mod(lo.astype(jnp.int32) - PAD_B, N)      # window start
-        shift = jnp.mod(N - l0, N)
-        vr = pltpu.roll(v, shift, 1)            # rolled[i] = orig[(i+l0)%N]
-        sr = pltpu.roll(s, shift, 1)
-        br = pltpu.roll(beta, shift, 1)
-
-        times_w = event_time(vr[:, :W], sr[:, :W], br[:, :W])
+        times_w = event_time(v[:, :W], s[:, :W], beta[:, :W])
         dt_w = jnp.min(times_w, axis=1, keepdims=True)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-        j_w = jnp.mod(
-            jnp.min(jnp.where(times_w == dt_w, lane_w, W), axis=1,
-                    keepdims=True) + l0, N)
+        j_w = jnp.min(jnp.where(times_w == dt_w, lane_w, W), axis=1,
+                      keepdims=True)                        # rolled coords
 
         # certificate over the out-of-window remainder (one log per lane).
         # The bound needs the synapse to decay between kicks (beta > 0); a
         # non-positive heterogeneous draw voids it, so such lanes report
         # t_lb = 0 and force the exact full-evaluation fallback.
-        vo = vr[:, W:]
-        cap = drive + jnp.maximum(sr[:, W:], 0.0)
+        vo = v[:, W:]
+        cap = drive + jnp.maximum(s[:, W:], 0.0)
         denom = cap - vth
         lb = jnp.where(denom > 0.0,
                        jnp.log(jnp.maximum(cap - vo, 1e-30)
                                / jnp.maximum(denom, 1e-30)),
                        jnp.float32(1e9))
-        lb = jnp.where(br[:, W:] > 0.0, lb, 0.0)
+        lb = jnp.where(beta[:, W:] > 0.0, lb, 0.0)
         lb_row = jnp.min(lb, axis=1, keepdims=True)
         viol = jnp.max(b2f(jnp.logical_and(live_rows(), dt_w > lb_row)))
         return jax.lax.cond(viol < 0.5,
@@ -227,12 +251,34 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
                             lambda _: select_event_full(v, s, beta),
                             0)
 
-    def loop_body(n_live):
-        del n_live
+    def loop_body(carry):
+        _, off = carry
+        if use_window:
+            # Re-anchor the standing roll only when the trailing spike has
+            # moved SLACK lanes past it (every ~3*SLACK events at reference
+            # scale) — pl.when predication makes off-events free.
+            book = out_ref[:]
+            lo = jnp.min(jnp.where(lane_o < M, book,
+                                   jnp.float32(jnp.inf))).astype(jnp.int32)
+            # forward drift past SLACK or any backward wrap (p near N) both
+            # re-anchor — matching the old per-event window placement to
+            # within SLACK lanes in the forward direction only
+            p = jnp.mod(lo - PAD_B - off, N)
+            need = p > SLACK
+
+            @pl.when(need)
+            def _reroll():
+                sh = N - p
+                v_s[:] = pltpu.roll(v_s[:], sh, 1)
+                s_s[:] = pltpu.roll(s_s[:], sh, 1)
+                b_s[:] = pltpu.roll(b_s[:], sh, 1)
+
+            off = jnp.where(need, jnp.mod(off + p, N), off)
+
         v = v_s[:]
         s = s_s[:]
         t = t_s[:]
-        beta = beta_ref[:]
+        beta = b_s[:] if use_window else beta_ref[:]
         live = jnp.broadcast_to(live_rows(), (R, N))
 
         if use_window:
@@ -273,8 +319,11 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         t_s[:] = jnp.where(live, t_new, t)
 
         # ---- bookkeeping on the packed row (classification, :622-644)
+        # last/crossed indices are recorded in ORIGINAL lane coordinates
+        # (the restriction maps them to ring positions), so unroll j here
         book = out_ref[:]
-        jf = j[:, 0:1].astype(jnp.float32)                  # (R, 1)
+        j_orig = jnp.mod(j_col + off, N) if use_window else j_col
+        jf = j_orig.astype(jnp.float32)                     # (R, 1)
         jb = jnp.broadcast_to(jf, (R, _LANE))
         tb = jnp.broadcast_to(t_new[:, 0:1], (R, _LANE))
         liveb = jnp.broadcast_to(live[:, 0:1], (R, _LANE))
@@ -313,10 +362,10 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
 
         # f32 count, not integer: under jax_enable_x64 an integer sum builds
         # an int64 accumulator, which Mosaic cannot lower.
-        return jnp.sum(b2f(live_rows()))
+        return jnp.sum(b2f(live_rows())), off
 
     n0 = jnp.sum(b2f(live_rows()))
-    jax.lax.while_loop(loop_cond, loop_body, n0)
+    jax.lax.while_loop(loop_cond, loop_body, (n0, off0))
 
     # finalize accept = all crossed flags set
     book = out_ref[:]
@@ -401,8 +450,7 @@ def _call_kernel(cfg, r_block, n_blocks, Rp, v0, s0, beta32, book0):
         out_specs=pl.BlockSpec((r_block, _LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
-            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
-            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32),
+            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32)
+            for _ in range(4 if 0 < cfg.evolve_window < cfg.n_neurons else 3)
         ],
     )(v0, s0, beta32, book0)
