@@ -42,6 +42,7 @@ from .analysis.stability import (
 )
 from .analysis.continuation import continue_branch, ArcStep
 from .analysis.branches import enumerate_branches, Branch
+from .analysis.boundary import track_existence_boundary, BoundaryPoint
 
 __version__ = "0.1.0"
 
@@ -76,4 +77,6 @@ __all__ = [
     "ArcStep",
     "enumerate_branches",
     "Branch",
+    "track_existence_boundary",
+    "BoundaryPoint",
 ]

@@ -64,7 +64,7 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                        ncfg: Optional[NewtonConfig] = None,
                        evolve_backend: str = "auto",
                        max_branches: int = 4,
-                       jump_ds_factors=(2.0, 4.0, 8.0),
+                       jump_ds_factors=(0.02, 0.1, 0.5, 1.0, 2.0, 4.0, 8.0),
                        jump_min_dist: float = 0.3,
                        dedupe_tol: float = 0.05,
                        callback: Optional[Callable] = None,

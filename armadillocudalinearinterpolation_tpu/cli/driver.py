@@ -104,6 +104,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "new family found; --steps bounds each walk")
     p.add_argument("--max-branches", type=int, default=4,
                    help="walk budget for --enumerate-branches")
+    p.add_argument("--track-boundary", action="store_true",
+                   help="trace the wave family's existence boundary "
+                        "beta*(sigma) over --sigma-values (two-parameter "
+                        "bifurcation-set mapping; see analysis/boundary.py)")
+    p.add_argument("--sigma-values", type=float, nargs="+",
+                   default=[0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5],
+                   help="sigma grid for --track-boundary, in walk order")
+    p.add_argument("--boundary-direction", type=float, default=1.0,
+                   help="+1: upper beta boundary; -1: lower")
     return p
 
 
@@ -201,6 +210,8 @@ def _run(args) -> int:
         dump_map_stages(cfg, params, key, Z, args.debug_dump)
         print(f"stage dumps written to {args.debug_dump}/")
 
+    if args.track_boundary:
+        return run_boundary(args, cfg, ncfg, key, Z, beta)
     if args.enumerate_branches:
         return run_enumerate(args, cfg, ncfg, key, Z, beta)
     if args.arclength:
@@ -260,6 +271,39 @@ def _run(args) -> int:
         Z = res.solution
         key, _ = jax.random.split(key)
 
+    return 0
+
+
+def run_boundary(args, cfg, ncfg, key, Z, beta) -> int:
+    """Two-parameter existence-boundary trace (``--track-boundary``)."""
+    import os
+
+    from ..analysis.boundary import track_existence_boundary
+
+    backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
+
+    def on_point(pt):
+        print(f"sigma={pt.sigma:.4f}: beta* = {pt.beta_star:.4f} "
+              f"(bracket +{pt.beta_fail - pt.beta_star:+.2e}, "
+              f"c={float(pt.Z[0]):.4f}, |r|={pt.residual_norm:.2e})",
+              flush=True)
+
+    pts = track_existence_boundary(
+        cfg, key, Z, beta, args.sigma_values,
+        direction=args.boundary_direction, ncfg=ncfg,
+        evolve_backend=backend,
+        callback=None if args.quiet else on_point)
+    print(f"boundary: {len(pts)}/{len(args.sigma_values)} sigma values "
+          "traced")
+    if args.checkpoint and pts:
+        os.makedirs(args.checkpoint, exist_ok=True)
+        np.savez(os.path.join(args.checkpoint, "boundary.npz"),
+                 sigma=np.array([p.sigma for p in pts]),
+                 beta_star=np.array([p.beta_star for p in pts]),
+                 beta_fail=np.array([p.beta_fail for p in pts]),
+                 Z=np.stack([p.Z for p in pts]),
+                 residual_norm=np.array([p.residual_norm for p in pts]))
+        print(f"boundary written to {args.checkpoint}/boundary.npz")
     return 0
 
 
