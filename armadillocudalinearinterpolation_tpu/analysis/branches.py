@@ -72,13 +72,21 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     """Enumerate solution families reachable from ``(Z0, beta0)``.
 
     Walks the seed branch in both directions with the guarded corrector
-    (``max_step_factor`` intact, so a walk never silently changes family),
-    then probes each branch end with unguarded steps of ``ds * factor`` for
-    each factor in ``jump_ds_factors``.  A probe that converges to a point
-    farther than ``jump_min_dist`` from the end — and not within
-    ``dedupe_tol`` of any recorded point in the ``(param, c)`` plane —
-    becomes a new seed, itself walked in both directions.  Terminates when
-    the worklist drains or ``max_branches`` walks have been accepted.
+    (``max_step_factor`` intact, so a walk never silently changes family).
+    New families come from two harvests per walk:
+
+    * **tunnels** — corrector solutions the guard rejected for landing too
+      far away (via ``reject_hook``): each is an *observed* jump to another
+      solution, typically the coexisting family whose basin abuts the
+      boundary;
+    * **end probes** — deliberate unguarded steps of ``ds * factor`` past
+      a detected branch end, for each factor in ``jump_ds_factors``.
+
+    A candidate farther than ``jump_min_dist`` from its branch end (probes)
+    and not within ``dedupe_tol`` of any recorded point in the
+    ``(param, c)`` plane becomes a new seed, itself walked in both
+    directions.  Terminates when the worklist drains or ``max_branches``
+    walks have been accepted.
 
     Args:
       beta0 / sigma / param: same convention as :func:`continue_branch` —
@@ -106,29 +114,58 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
 
     known_pts: list[np.ndarray] = []
     branches: list[Branch] = []
-    # worklist: (Z_start, free_start, direction, origin)
-    work = [(jnp.asarray(Z0, dt_), float(free0), +1.0, "seed+"),
-            (jnp.asarray(Z0, dt_), float(free0), -1.0, "seed-")]
+    # worklist: (Z_start, free_start, direction, origin, tangent0)
+    work = [(jnp.asarray(Z0, dt_), float(free0), +1.0, "seed+", None),
+            (jnp.asarray(Z0, dt_), float(free0), -1.0, "seed-", None)]
+
+    def queue_seed(y_new: np.ndarray, origin: str,
+                   tangent0=None) -> bool:
+        """Accept a discovery candidate if it is genuinely new.
+
+        With ``tangent0`` (an end-probe's jump direction) only the
+        continuation direction is walked — the reverse walk would re-cross
+        the probed branch end and re-walk the branch that just ended (a
+        tunnel to a *new* family, by contrast, is walked both ways).
+        """
+        if is_known(y_new, known_pts, dedupe_tol):
+            return False
+        work.append((jnp.asarray(y_new[:-1], dt_), float(y_new[-1]),
+                     +1.0, origin + "+", tangent0))
+        if tangent0 is None:
+            work.append((jnp.asarray(y_new[:-1], dt_), float(y_new[-1]),
+                         -1.0, origin + "-", None))
+        # mark immediately so later candidates at the same point dedupe
+        known_pts.append(_diagram_coords(y_new))
+        return True
 
     while work and len(branches) < max_branches:
-        Zs, ps, direction, origin = work.pop(0)
+        Zs, ps, direction, origin, tan0 = work.pop(0)
         b_idx = len(branches)
         cb = ((lambda i, s: callback(b_idx, i, s))
               if callback is not None else None)
         walk_beta0, walk_sigma = ((ps, fixed) if param == "beta"
                                   else (fixed, ps))
+        # Converged-but-rejected correctors ARE observed tunnels to another
+        # family (the guard exists precisely to refuse them); harvest them
+        # as discovery seeds instead of throwing the information away.
+        tunnels: list[np.ndarray] = []
         steps = continue_branch(
             cfg, key, Zs, walk_beta0, sigma=walk_sigma, param=param,
             ds=ds, n_steps=n_steps, direction=direction, ncfg=ncfg,
-            evolve_backend=backend, callback=cb, **walk_kw)
+            evolve_backend=backend, callback=cb, tangent0=tan0,
+            reject_hook=tunnels.append, **walk_kw)
         if not steps:
             continue
         pts = np.stack([np.asarray(s.y) for s in steps])
         branches.append(Branch(points=pts, origin=origin,
                                hit_step_limit=len(steps) == n_steps))
         known_pts.extend(_diagram_coords(p) for p in pts)
+
+        for y_t in tunnels:
+            if queue_seed(y_t, f"tunnel@{origin}:"):
+                break  # one new family per walk end is plenty
         if len(steps) == n_steps:
-            continue  # no branch end reached; nothing to switch from
+            continue  # no branch end reached; nothing further to probe
 
         # branch end: deliberate unguarded discovery probes
         y_end, t_end = steps[-1].y, steps[-1].tangent
@@ -138,11 +175,9 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                     and bool(jnp.all(jnp.isfinite(res.solution)))):
                 continue
             y_new = np.asarray(res.solution)
-            if (np.linalg.norm(y_new - np.asarray(y_end)) >= jump_min_dist
-                    and not is_known(y_new, known_pts, dedupe_tol)):
-                work.append((jnp.asarray(y_new[:-1], dt_), float(y_new[-1]),
-                             +1.0, f"jump@{origin}:{factor:g}ds+"))
-                work.append((jnp.asarray(y_new[:-1], dt_), float(y_new[-1]),
-                             -1.0, f"jump@{origin}:{factor:g}ds-"))
+            d = y_new - np.asarray(y_end)
+            if (np.linalg.norm(d) >= jump_min_dist
+                    and queue_seed(y_new, f"jump@{origin}:{factor:g}ds",
+                                   tangent0=d / np.linalg.norm(d))):
                 break
     return branches

@@ -22,6 +22,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig, MapParams, NewtonConfig
 from ..model.emap import event_driven_map
@@ -114,7 +115,7 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                     grow: float = 1.3, shrink: float = 0.5,
                     max_step_factor: Optional[float] = 4.0,
                     tangent0: Optional[jax.Array] = None,
-                    callback=None) -> list[ArcStep]:
+                    callback=None, reject_hook=None) -> list[ArcStep]:
     """Walk a solution branch with adaptive pseudo-arclength steps.
 
     Starts from a converged point ``(Z0, beta0)`` and returns the list of
@@ -136,6 +137,10 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
         ``None`` to allow such jumps (branch discovery mode).
       callback: optional ``f(step_index, ArcStep)`` called per accepted point
         (the CLI uses this for logging/checkpointing).
+      reject_hook: optional ``f(y)`` called with every corrector solution
+        that *converged* but was rejected by ``max_step_factor`` — i.e. an
+        observed tunnel to a distant solution (usually another wave
+        family).  The branch enumerator harvests these as discovery seeds.
     """
     dt_ = cfg.jdtype
     if ncfg is None:
@@ -165,6 +170,8 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
             if ok and max_step_factor is not None:
                 dist = float(jnp.linalg.norm(res.solution - y))
                 ok = dist <= max_step_factor * cur_ds
+                if not ok and reject_hook is not None:
+                    reject_hook(np.asarray(res.solution))
             if ok or cur_ds <= min_ds:
                 break
             cur_ds = max(min_ds, cur_ds * shrink)
