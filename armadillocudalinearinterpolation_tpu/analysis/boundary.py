@@ -9,14 +9,22 @@ curve in the ``(beta, sigma)`` plane: the existence boundary of the slow
 
 Grazing-type ends are *non-smooth* (a membrane trajectory tangentially
 loses its threshold crossing — the event count changes), so there is no
-smooth augmented system to Newton on, and pseudo-arclength cannot round
-them.  The robust primitive that detected them in one parameter — "the
-damped solver converges inside, fails outside, and the adaptive step
-collapses geometrically against the boundary" — generalises directly:
-for each value of the second parameter, bisect the first parameter on
-*solvability*, warm-starting every solve from the nearest converged
-neighbour, and guard against silently converging onto a coexisting family
-(the fast wave) with a wave-speed continuity check.
+smooth augmented system to Newton on.  Two candidate primitives:
+
+* **Solvability bisection at fixed beta** under-reports the boundary:
+  measured at sigma = 0, plain Newton's basin collapses ~0.04 *before*
+  the family ends (probes from 2e-3 away diverge to NaN at beta = 15.98
+  while converged solutions exist to 16.0144) — fixed-parameter Newton
+  measures its own basin, not existence.
+* **The pseudo-arclength corrector** (bordered system, parameter free)
+  stays convergent all the way in: the round-2 walk pinned the sigma = 0
+  boundary to 1e-4 with |r| <= 7e-10 at every accepted point.
+
+So the tracker walks the *arclength walker* into the boundary once per
+value of the second parameter: warm-start an interior solve, then
+``continue_branch`` toward the boundary until the adaptive step collapses
+(its corrector guard also rejects tunnels onto the coexisting fast
+family); the last accepted point is the boundary point at that sigma.
 
 The reference has no two-parameter capability at all (its one-parameter
 sweep is commented out, ``/root/reference/Driver.cu:86-114``).
@@ -33,32 +41,33 @@ import numpy as np
 from ..config import ModelConfig, MapParams, NewtonConfig
 from ..model.emap import make_residual_fn
 from ..solvers.newton import newton_solve
+from .continuation import continue_branch
 
 
 class BoundaryPoint(NamedTuple):
     """One point on the existence boundary ``beta*(sigma)``."""
 
     sigma: float
-    beta_star: float          # deepest beta that still converges (inside)
-    beta_fail: float          # shallowest probed beta that fails (outside)
+    beta_star: float          # last converged beta (the boundary, inside)
+    beta_fail: float          # beta_star + direction * resolution claim
     Z: np.ndarray             # converged solution at (beta_star, sigma)
     residual_norm: float
 
 
 def _make_prober(cfg: ModelConfig, key: jax.Array, ncfg: NewtonConfig,
                  evolve_backend: str, family_guard: float):
-    """One jitted solve, (beta, sigma, Z0) traced — compiled once."""
+    """One jitted fixed-parameter solve for interior re-convergence."""
     solve = jax.jit(lambda p, z: newton_solve(
         make_residual_fn(cfg, p, key, evolve_backend=evolve_backend),
         z, ncfg))
     dt_ = cfg.jdtype
 
-    def prober(beta: float, sigma: float, Z0, c_ref: float):
+    def prober(beta: float, sigma: float, Z0, c_ref):
         res = solve(MapParams(beta=jnp.asarray(beta, dt_),
                               sigma=jnp.asarray(sigma, dt_)),
                     jnp.asarray(Z0, dt_))
         sol = np.asarray(res.solution)
-        ok = (bool(res.converged) and np.all(np.isfinite(sol))
+        ok = (bool(res.converged) and bool(np.all(np.isfinite(sol)))
               # family continuity: reject a solve that tunnelled to a
               # coexisting wave family (the slow/fast speeds differ by
               # ~0.19 at overlap; default guard 0.08 splits them)
@@ -77,7 +86,7 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
                              family_guard: float = 0.08,
                              ncfg: Optional[NewtonConfig] = None,
                              evolve_backend: str = "auto",
-                             max_expand: int = 12,
+                             max_steps: int = 80,
                              callback: Optional[Callable] = None
                              ) -> list[BoundaryPoint]:
     """Trace the existence boundary ``beta*(sigma)`` of one wave family.
@@ -86,18 +95,22 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
       Z0, beta0: a converged point well inside the family at
         ``sigma_values[0]`` (e.g. the ``Driver.cu:24`` fixed point).
       sigma_values: second-parameter values to visit, in walk order;
-        each solve warm-starts from the previous boundary point, so
+        each visit warm-starts from the previous boundary point, so
         neighbouring values should be close.
       direction: +1 tracks the upper boundary (largest beta), -1 the lower.
-      bracket: outward march step — also the cap on how far any probe's
-        warm start travels in beta (keep it near the natural sweep's basin
-        scale, ~0.5 at the reference parameters).
-      bisect_tol: terminal bracket width in beta.
+      bracket: initial/maximum arclength step of the boundary walk.
+      bisect_tol: resolution claim for the boundary; the walk's minimum
+        step is ``bisect_tol / 4`` and ``beta_fail`` is reported as
+        ``beta_star + direction * bisect_tol``.
       backoff: how far inside the previous boundary the next sigma's
-        warm-start solve begins (absorbs the boundary's sigma-slope).
-      family_guard: max allowed jump in wave speed ``c = Z[0]`` between
-        accepted solves (see :func:`_make_prober`).
-      max_expand: cap on outward bracket expansions (diverging boundary).
+        interior warm-start solve begins (absorbs the boundary's
+        sigma-slope).
+      family_guard: max allowed jump in wave speed ``c = Z[0]`` for the
+        interior re-convergence solve (the walk itself rejects tunnels
+        via its corrector step-distance guard).
+      max_steps: per-sigma cap on arclength steps; hitting it raises (the
+        boundary is farther than the walk budget, or the family guard is
+        rejecting valid interior points).
       callback: optional ``f(BoundaryPoint)`` per traced point.
 
     Returns:
@@ -118,58 +131,45 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
 
     for sigma in sigma_values:
         sigma = float(sigma)
-        # 1) interior re-convergence at this sigma (warm start)
-        ok, sol, _ = probe(beta_in, sigma, Z_in, c_ref)
+        # 1) interior re-convergence at this sigma (fixed-beta warm start)
+        ok, sol, rnorm = probe(beta_in, sigma, Z_in, c_ref)
         if not ok:
             # one retry from deeper inside before declaring the family gone
-            ok, sol, _ = probe(beta_in - sgn * backoff, sigma, Z_in, c_ref)
+            beta_try = beta_in - sgn * backoff
+            ok, sol, rnorm = probe(beta_try, sigma, Z_in, c_ref)
             if not ok:
                 break
-            beta_in = beta_in - sgn * backoff
+            beta_in = beta_try
         Z_in, c_ref = sol, float(sol[0])
 
-        # 2+3) travel-limited adaptive march to the boundary: every probe
-        # warm-starts from the current inside point at most `bracket` away
-        # in beta (a plain bisection would warm-start across the whole
-        # bracket and Newton can spuriously fail far from its basin — the
-        # natural sweeps use steps ~0.1 for the same reason), halving the
-        # step on failure and growing it while expanding.
-        lo, z_lo = beta_in, Z_in
-        step = bracket
-        hi = None
-        rnorm = None
-        n_expand = 0
-        while hi is None or abs(hi - lo) > bisect_tol:
-            cand = lo + sgn * step
-            if hi is not None:
-                # stay inside the established bracket (midpoint rule), but
-                # never probe farther from the inside point than `step`
-                cand = sgn * min(sgn * cand, sgn * 0.5 * (lo + hi))
-            ok, sol, rn = probe(cand, sigma, z_lo, c_ref)
-            if ok:
-                lo, z_lo, c_ref, rnorm = cand, sol, float(sol[0]), rn
-                if hi is None:
-                    step = min(step * 1.5, bracket)
-            else:
-                hi = cand
-                step = max(step * 0.5, 0.25 * bisect_tol)
-            if hi is None:
-                n_expand += 1
-                if n_expand > max_expand:
-                    raise RuntimeError(
-                        f"no boundary within {max_expand} expansions of "
-                        f"beta={beta_in} at sigma={sigma}: family_guard may "
-                        "be rejecting valid solves, or the boundary is "
-                        "beyond the probed range")
-        if rnorm is None:
-            _, _, rnorm = probe(lo, sigma, z_lo, c_ref)
+        # 2) walk the arclength corrector into the boundary (guarded: the
+        # corrector step-distance guard rejects tunnels to other families)
+        steps = continue_branch(
+            cfg, key, jnp.asarray(Z_in, cfg.jdtype), beta_in, sigma=sigma,
+            param="beta", ds=bracket, n_steps=max_steps, direction=sgn,
+            ncfg=ncfg, evolve_backend=evolve_backend,
+            min_ds=0.25 * bisect_tol, max_ds=bracket)
+        if len(steps) == max_steps:
+            raise RuntimeError(
+                f"boundary walk at sigma={sigma} did not terminate within "
+                f"{max_steps} steps (last beta="
+                f"{float(steps[-1].y[-1])}): increase max_steps or bracket")
+        if steps:
+            y_end = np.asarray(steps[-1].y)
+            beta_star, Z_star = float(y_end[-1]), y_end[:-1]
+            rnorm = float(steps[-1].residual_norm)
+        else:
+            # boundary closer than even the minimum step: the interior
+            # point IS the boundary point at this resolution
+            beta_star, Z_star = beta_in, Z_in
 
-        pt = BoundaryPoint(sigma=sigma, beta_star=lo, beta_fail=hi,
-                           Z=z_lo, residual_norm=rnorm)
+        pt = BoundaryPoint(sigma=sigma, beta_star=beta_star,
+                           beta_fail=beta_star + sgn * bisect_tol,
+                           Z=Z_star, residual_norm=rnorm)
         out.append(pt)
         if callback is not None:
             callback(pt)
 
-        # 4) warm start the next sigma from just inside this boundary
-        Z_in, beta_in = z_lo, lo - sgn * backoff
+        # 3) warm start the next sigma from just inside this boundary
+        Z_in, beta_in = Z_star, beta_star - sgn * backoff
     return out
