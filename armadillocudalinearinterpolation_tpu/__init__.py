@@ -44,7 +44,7 @@ from .analysis.continuation import continue_branch, ArcStep
 from .analysis.branches import enumerate_branches, Branch
 from .analysis.boundary import track_existence_boundary, BoundaryPoint
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "ModelConfig",

@@ -284,7 +284,7 @@ def run_boundary(args, cfg, ncfg, key, Z, beta) -> int:
 
     def on_point(pt):
         print(f"sigma={pt.sigma:.4f}: beta* = {pt.beta_star:.4f} "
-              f"(bracket +{pt.beta_fail - pt.beta_star:+.2e}, "
+              f"(resolution {abs(pt.beta_fail - pt.beta_star):.1e}, "
               f"c={float(pt.Z[0]):.4f}, |r|={pt.residual_norm:.2e})",
               flush=True)
 

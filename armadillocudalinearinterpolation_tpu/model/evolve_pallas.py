@@ -63,6 +63,11 @@ _LANE = 128
 # past ~128K elements push a fresh kernel compile beyond the remote
 # compile-helper's time limit.
 _BLOCK_ELEMENT_BUDGET = 128 * 1024
+# Escape hatch for CI: run the kernel through the Pallas interpreter
+# (plain XLA ops, any backend) instead of Mosaic.  Lets the kernel's
+# logic — windowing, persistent roll, packed bookkeeping — be exercised
+# off-TPU; tests/test_evolve_pallas.py flips it.
+_INTERPRET = False
 
 
 def _r_block(n_neurons: int) -> int:
@@ -453,4 +458,5 @@ def _call_kernel(cfg, r_block, n_blocks, Rp, v0, s0, beta32, book0):
             pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32)
             for _ in range(4 if 0 < cfg.evolve_window < cfg.n_neurons else 3)
         ],
+        interpret=_INTERPRET,
     )(v0, s0, beta32, book0)

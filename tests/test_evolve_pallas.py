@@ -60,6 +60,39 @@ def test_evolve_window_validation():
     ModelConfig(n_neurons=512, n_real=2, evolve_window=256)  # ok
 
 
+@pytest.fixture
+def interpreted(monkeypatch):
+    """Run the kernel through the Pallas interpreter (plain XLA, CPU-safe)
+    with a small realisation block, clearing the jit cache around it."""
+    import armadillocudalinearinterpolation_tpu.model.evolve_pallas as ep
+
+    monkeypatch.setattr(ep, "_INTERPRET", True)
+    monkeypatch.setattr(ep, "_BLOCK_ELEMENT_BUDGET", 8 * 512)
+    ep.evolve_ensemble_pallas.clear_cache()
+    yield ep
+    ep.evolve_ensemble_pallas.clear_cache()
+
+
+def test_pallas_interpret_matches_xla_on_cpu(interpreted, z_ref):
+    """The kernel's full logic — event loop, packed bookkeeping, windowing
+    with persistent roll + re-anchor, certificate fallback — exercised
+    off-TPU via the Pallas interpreter and checked against the XLA evolve
+    path (closes the round-1 gap of the kernel only ever being validated
+    on a live TPU)."""
+    params = MapParams.create(13.0589, 0.1, dtype="float32")
+    key = jax.random.PRNGKey(0)
+    z = z_ref.astype(jnp.float32)
+    cfg_f = ModelConfig(n_neurons=256, n_real=4, dtype="float32")
+    cfg_w = ModelConfig(n_neurons=256, n_real=4, dtype="float32",
+                        evolve_window=128)
+    fx = event_driven_map(cfg_f, params, key, z, evolve_backend="xla")
+    ff = event_driven_map(cfg_f, params, key, z, evolve_backend="pallas")
+    fw = event_driven_map(cfg_w, params, key, z, evolve_backend="pallas")
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fx), atol=2e-5)
+    # the certified window must reproduce the full kernel exactly
+    np.testing.assert_array_equal(np.asarray(ff), np.asarray(fw))
+
+
 @pytest.mark.skipif(not on_tpu, reason="Mosaic kernel needs a TPU")
 def test_windowed_matches_full_kernel_on_tpu(z_ref):
     """The certified window must reproduce the full kernel exactly
