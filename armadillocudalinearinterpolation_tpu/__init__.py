@@ -43,6 +43,7 @@ from .analysis.stability import (
 from .analysis.continuation import continue_branch, ArcStep
 from .analysis.branches import enumerate_branches, Branch
 from .analysis.boundary import track_existence_boundary, BoundaryPoint
+from .analysis.fold import solve_fold, track_fold, FoldPoint
 
 __version__ = "0.3.0"
 
@@ -79,4 +80,7 @@ __all__ = [
     "Branch",
     "track_existence_boundary",
     "BoundaryPoint",
+    "solve_fold",
+    "track_fold",
+    "FoldPoint",
 ]

@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sigma grid for --track-boundary, in walk order")
     p.add_argument("--boundary-direction", type=float, default=1.0,
                    help="+1: upper beta boundary; -1: lower")
+    p.add_argument("--track-fold", action="store_true",
+                   help="continue a smooth fold in two parameters over "
+                        "--sigma-values via the Moore-Spence extended "
+                        "system; --guess/--beta must be a near-fold point "
+                        "(analysis/fold.py)")
     return p
 
 
@@ -210,6 +215,8 @@ def _run(args) -> int:
         dump_map_stages(cfg, params, key, Z, args.debug_dump)
         print(f"stage dumps written to {args.debug_dump}/")
 
+    if args.track_fold:
+        return run_fold(args, cfg, ncfg, key, Z, beta)
     if args.track_boundary:
         return run_boundary(args, cfg, ncfg, key, Z, beta)
     if args.enumerate_branches:
@@ -271,6 +278,40 @@ def _run(args) -> int:
         Z = res.solution
         key, _ = jax.random.split(key)
 
+    return 0
+
+
+def run_fold(args, cfg, ncfg, key, Z, beta) -> int:
+    """Two-parameter fold continuation (``--track-fold``)."""
+    import os
+
+    from .. import MapParams, make_residual_fn
+    from ..analysis.fold import null_direction, track_fold
+
+    # initial null direction from the exact Jacobian at the near-fold guess
+    F = make_residual_fn(cfg, MapParams.create(beta, args.sigma_values[0],
+                                               dtype=args.dtype),
+                         key, evolve_backend="xla")
+    v0 = null_direction(jax.jacfwd(F)(Z))
+
+    def on_point(pt):
+        print(f"sigma={pt.sigma:.4f}: beta_fold = {pt.beta:.5f} "
+              f"(c={float(pt.Z[0]):.4f}, |H|={pt.residual_norm:.2e})",
+              flush=True)
+
+    pts = track_fold(cfg, key, Z, v0, beta, args.sigma_values, ncfg=ncfg,
+                     callback=None if args.quiet else on_point)
+    print(f"fold curve: {len(pts)}/{len(args.sigma_values)} sigma values "
+          "traced")
+    if args.checkpoint and pts:
+        os.makedirs(args.checkpoint, exist_ok=True)
+        np.savez(os.path.join(args.checkpoint, "fold.npz"),
+                 sigma=np.array([p.sigma for p in pts]),
+                 beta=np.array([p.beta for p in pts]),
+                 Z=np.stack([p.Z for p in pts]),
+                 v=np.stack([p.v for p in pts]),
+                 residual_norm=np.array([p.residual_norm for p in pts]))
+        print(f"fold curve written to {args.checkpoint}/fold.npz")
     return 0
 
 
