@@ -370,8 +370,12 @@ def main():
     # The headline must survive anything: a crashed TPU worker or a failed
     # kernel compile degrades to an error record, never an empty stdout —
     # and the remaining (independent) benchmarks still run and report.
+    def _stage(name):
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
+
     qps = s_xla = s_pallas = None
     try:
+        _stage("bilinear2d")
         qps, s_pallas, s_xla = bench_bilinear2d()
         extras["bilinear2d_pallas_ms"] = round(s_pallas * 1e3, 3)
         extras["bilinear2d_xla_ms"] = round(s_xla * 1e3, 3)
@@ -385,11 +389,13 @@ def main():
         extras["headline_error"] = str(e)[:300]
 
     try:
+        _stage("lerp1d")
         extras["lerp1d_qps"] = round(bench_lerp1d() / 1e9, 3)
     except Exception as e:
         extras["lerp1d_error"] = str(e)[:200]
 
     try:
+        _stage("lerp1d_64k")
         q64k, err64k = bench_lerp1d_64k()
         extras["lerp1d_64k_qps"] = round(q64k / 1e9, 3)
         extras["lerp1d_64k_maxerr"] = err64k
@@ -397,6 +403,7 @@ def main():
         extras["lerp1d_64k_error"] = str(e)[:200]
 
     try:
+        _stage("interp1d_nonuniform")
         qnu, errnu = bench_interp1d_nonuniform()
         extras["interp1d_nonuniform_qps"] = round(qnu / 1e9, 3)
         extras["interp1d_nonuniform_maxerr"] = errnu
@@ -404,6 +411,7 @@ def main():
         extras["interp1d_nonuniform_error"] = str(e)[:200]
 
     try:
+        _stage("bilinear2d_binned_1024")
         q1k, s1k, s1k_xla, err1k = bench_bilinear2d_binned_1024()
         extras["bilinear2d_1024_binned_qps"] = round(q1k / 1e6, 1)
         extras["bilinear2d_1024_binned_ms"] = round(s1k * 1e3, 3)
@@ -413,6 +421,7 @@ def main():
         extras["bilinear2d_1024_error"] = str(e)[:200]
 
     try:
+        _stage("pallas_parity")
         d_px, d_wf, d_p64, d_x64 = bench_pallas_parity()
         extras["pallas_vs_xla_residual_delta"] = d_px
         extras["windowed_vs_full_residual_delta"] = d_wf
@@ -422,11 +431,13 @@ def main():
         extras["parity_error"] = str(e)[:200]
 
     try:
+        _stage("map_eval")
         extras["map_eval_N1024_R1024_ms"] = round(bench_map_eval() * 1e3, 1)
     except Exception as e:
         extras["map_error"] = str(e)[:200]
 
     try:
+        _stage("bilinear2d_f64")
         q64, err64, q64p, err64p = bench_bilinear2d_f64()
         extras["bilinear2d_f64_xla_qps"] = round(q64 / 1e6, 1)
         extras["bilinear2d_f64_xla_maxerr"] = err64
@@ -436,6 +447,7 @@ def main():
         extras["bilinear2d_f64_error"] = str(e)[:200]
 
     try:
+        _stage("newton_1e8")
         t_solve, iters, norm = bench_newton_1e8()
         extras["newton_N4096_s"] = round(t_solve, 2)
         extras["newton_iters"] = iters
