@@ -294,23 +294,32 @@ def run_fold(args, cfg, ncfg, key, Z, beta) -> int:
                          key, evolve_backend="xla")
     v0 = null_direction(jax.jacfwd(F)(Z))
 
+    acc = []
+
+    def save():
+        # incremental save: a killed multi-hour trace keeps its prefix
+        os.makedirs(args.checkpoint, exist_ok=True)
+        np.savez(os.path.join(args.checkpoint, "fold.npz"),
+                 sigma=np.array([p.sigma for p in acc]),
+                 beta=np.array([p.beta for p in acc]),
+                 Z=np.stack([p.Z for p in acc]),
+                 v=np.stack([p.v for p in acc]),
+                 residual_norm=np.array([p.residual_norm for p in acc]))
+
     def on_point(pt):
-        print(f"sigma={pt.sigma:.4f}: beta_fold = {pt.beta:.5f} "
-              f"(c={float(pt.Z[0]):.4f}, |H|={pt.residual_norm:.2e})",
-              flush=True)
+        if not args.quiet:
+            print(f"sigma={pt.sigma:.4f}: beta_fold = {pt.beta:.5f} "
+                  f"(c={float(pt.Z[0]):.4f}, |H|={pt.residual_norm:.2e})",
+                  flush=True)
+        acc.append(pt)
+        if args.checkpoint:
+            save()
 
     pts = track_fold(cfg, key, Z, v0, beta, args.sigma_values, ncfg=ncfg,
-                     callback=None if args.quiet else on_point)
+                     callback=on_point)
     print(f"fold curve: {len(pts)}/{len(args.sigma_values)} sigma values "
           "traced")
     if args.checkpoint and pts:
-        os.makedirs(args.checkpoint, exist_ok=True)
-        np.savez(os.path.join(args.checkpoint, "fold.npz"),
-                 sigma=np.array([p.sigma for p in pts]),
-                 beta=np.array([p.beta for p in pts]),
-                 Z=np.stack([p.Z for p in pts]),
-                 v=np.stack([p.v for p in pts]),
-                 residual_norm=np.array([p.residual_norm for p in pts]))
         print(f"fold curve written to {args.checkpoint}/fold.npz")
     return 0
 
@@ -323,27 +332,35 @@ def run_boundary(args, cfg, ncfg, key, Z, beta) -> int:
 
     backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
 
+    acc = []
+
+    def save():
+        # incremental save: a killed multi-hour trace keeps its prefix
+        os.makedirs(args.checkpoint, exist_ok=True)
+        np.savez(os.path.join(args.checkpoint, "boundary.npz"),
+                 sigma=np.array([p.sigma for p in acc]),
+                 beta_star=np.array([p.beta_star for p in acc]),
+                 beta_fail=np.array([p.beta_fail for p in acc]),
+                 Z=np.stack([p.Z for p in acc]),
+                 residual_norm=np.array([p.residual_norm for p in acc]))
+
     def on_point(pt):
-        print(f"sigma={pt.sigma:.4f}: beta* = {pt.beta_star:.4f} "
-              f"(resolution {abs(pt.beta_fail - pt.beta_star):.1e}, "
-              f"c={float(pt.Z[0]):.4f}, |r|={pt.residual_norm:.2e})",
-              flush=True)
+        if not args.quiet:
+            print(f"sigma={pt.sigma:.4f}: beta* = {pt.beta_star:.4f} "
+                  f"(resolution {abs(pt.beta_fail - pt.beta_star):.1e}, "
+                  f"c={float(pt.Z[0]):.4f}, |r|={pt.residual_norm:.2e})",
+                  flush=True)
+        acc.append(pt)
+        if args.checkpoint:
+            save()
 
     pts = track_existence_boundary(
         cfg, key, Z, beta, args.sigma_values,
         direction=args.boundary_direction, ncfg=ncfg,
-        evolve_backend=backend,
-        callback=None if args.quiet else on_point)
+        evolve_backend=backend, callback=on_point)
     print(f"boundary: {len(pts)}/{len(args.sigma_values)} sigma values "
           "traced")
     if args.checkpoint and pts:
-        os.makedirs(args.checkpoint, exist_ok=True)
-        np.savez(os.path.join(args.checkpoint, "boundary.npz"),
-                 sigma=np.array([p.sigma for p in pts]),
-                 beta_star=np.array([p.beta_star for p in pts]),
-                 beta_fail=np.array([p.beta_fail for p in pts]),
-                 Z=np.stack([p.Z for p in pts]),
-                 residual_norm=np.array([p.residual_norm for p in pts]))
         print(f"boundary written to {args.checkpoint}/boundary.npz")
     return 0
 
