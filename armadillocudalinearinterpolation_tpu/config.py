@@ -47,7 +47,12 @@ class ModelConfig:
         lanes, the reference's behavior).  Must be a multiple of 128 and
         < n_neurons.  Results are certified exact per event (closed-form
         lower bound on out-of-window crossing times, with full-evaluation
-        fallback), so this changes wall-clock, not physics.
+        fallback), so this changes wall-clock, not physics.  Size it to
+        the packet: the spike span in lanes is ``c * (z_max - z_min) / dx``
+        (~N/13 at the reference solution), and the window needs that plus
+        ~96 lanes of margins — N/8 (128 at N=1024, 512 at N=4096) measures
+        fastest; too narrow triggers certificate fallbacks (measured: 128
+        at N=2048 is 3x slower than 256 from fallback storms).
       dtype: compute dtype ('float32' TPU fast path, 'float64' CPU oracle).
     """
 
