@@ -121,6 +121,13 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
     if ncfg is None:
         ncfg = NewtonConfig(tolerance=1e-9, max_iterations=12,
                             fd_mode="exact")
+    if ncfg.divergence_factor == float("inf"):
+        # boundary tracing spends most of its wall-clock inside
+        # deliberately-failing probes whose iterates run away within 2-3
+        # steps; cut them off instead of burning the full budget (a 1e4
+        # overshoot never recovers within these budgets)
+        import dataclasses
+        ncfg = dataclasses.replace(ncfg, divergence_factor=1e4)
     sgn = 1.0 if direction >= 0 else -1.0
     probe = _make_prober(cfg, key, ncfg, evolve_backend, family_guard)
 

@@ -146,3 +146,10 @@ class NewtonConfig:
     # "exact" (forward-mode autodiff through the map with an implicit-
     # function-theorem JVP at the event-time root; XLA evolve backend only).
     fd_mode: str = "forward"
+    # Early-divergence cutoff: abandon the iteration once the residual norm
+    # exceeds divergence_factor * initial norm.  inf (default) preserves the
+    # reference's run-to-max_iterations behavior; continuation probes set it
+    # finite so clearly-runaway correctors fail in ~2 iterations instead of
+    # burning the full budget (boundary tracing spends most of its time in
+    # deliberately-failing probes).
+    divergence_factor: float = float("inf")

@@ -182,7 +182,14 @@ def newton_solve(
                  jacobian=jnp.eye(n, dtype=dt_))
 
     def cond(c: Carry):
-        return jnp.logical_and(c.it < cfg.max_iterations, ~c.converged)
+        keep = jnp.logical_and(c.it < cfg.max_iterations, ~c.converged)
+        if cfg.divergence_factor != float("inf"):
+            # early-divergence cutoff (see NewtonConfig): a runaway iterate
+            # cannot converge within the budget; stop paying for it.  NaN
+            # norms compare False and stop too.
+            keep = jnp.logical_and(
+                keep, c.norm <= cfg.divergence_factor * norm0)
+        return keep
 
     def body(c: Carry) -> Carry:
         if jacobian_fn is not None:

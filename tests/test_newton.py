@@ -114,3 +114,27 @@ def test_newton_central_mode_solves():
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.solution), [2.0, 3.0],
                                rtol=1e-10)
+
+
+def test_divergence_cutoff_stops_runaway():
+    """divergence_factor abandons a runaway iterate early; the default
+    (inf) preserves the reference's run-to-max_iterations behavior."""
+    import jax
+
+    from armadillocudalinearinterpolation_tpu import (NewtonConfig,
+                                                      newton_solve)
+
+    def F(x):  # x^2 + 1 = 0: no real root; Newton runs away fast
+        return x * x + 1.0
+
+    x0 = jnp.asarray([0.1])
+    capped = NewtonConfig(tolerance=1e-9, max_iterations=25,
+                          divergence_factor=10.0)
+    res = jax.jit(lambda z: newton_solve(F, z, capped))(x0)
+    assert not bool(res.converged)
+    assert int(res.iterations) <= 3  # stopped at the first >10x overshoot
+
+    free = NewtonConfig(tolerance=1e-9, max_iterations=25)
+    res2 = jax.jit(lambda z: newton_solve(F, z, free))(x0)
+    assert not bool(res2.converged)
+    assert int(res2.iterations) == 25  # reference behavior: full budget
