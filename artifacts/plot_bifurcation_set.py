@@ -38,9 +38,11 @@ def main():
     ax.plot(b["beta_star"][order], b["sigma"][order], "o-", color=S1,
             lw=1.8, ms=4, mew=0, label="slow family: grazing boundary "
             r"$\beta^*(\sigma)$")
-    # the wave exists to the LEFT of the grazing curve
-    ax.fill_betweenx(b["sigma"][order], 0.0, b["beta_star"][order],
+    # the wave exists to the LEFT of the grazing curve (down to the lower
+    # branch end near beta ~ 2.3, far off this crop)
+    ax.fill_betweenx(b["sigma"][order], 12.6, b["beta_star"][order],
                      color=S1, alpha=0.06, lw=0)
+    ax.set_xlim(12.6, 20.8)
 
     fold_file = HERE / "fold_curve" / "fold.npz"
     if fold_file.exists():
@@ -68,7 +70,7 @@ def main():
     ax.set_xlabel(r"synaptic rate  $\beta$", color=TEXT, fontsize=10)
     ax.set_ylabel(r"heterogeneity  $\sigma$", color=TEXT, fontsize=10)
     ax.set_ylim(bottom=-0.05)
-    ax.legend(loc="upper left", frameon=False, fontsize=9, labelcolor=TEXT)
+    ax.legend(loc="center right", frameon=False, fontsize=9, labelcolor=TEXT)
     ax.set_title("Bifurcation set in the $(\\beta, \\sigma)$ plane\n"
                  "(--track-boundary / --track-fold, N=512 fp64)",
                  color=TEXT, fontsize=10.5, loc="left")
