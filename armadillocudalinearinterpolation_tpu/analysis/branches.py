@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, NewtonConfig
+from ..model.emap import differentiable_backend
 from .continuation import (arclength_step, continue_branch,
                            make_extended_residual)
 
@@ -107,7 +108,11 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                             fd_mode="exact")
     dt_ = cfg.jdtype
     fixed, free0 = ((sigma, beta0) if param == "beta" else (beta0, sigma))
-    backend = evolve_backend
+    # exact mode forward-differentiates the bordered residual; the Pallas
+    # kernel has no JVP, so resolve to a differentiable backend here (the
+    # library surface must not depend on the CLI's guard — ADVICE.md r2)
+    backend = (differentiable_backend(evolve_backend)
+               if ncfg.fd_mode == "exact" else evolve_backend)
     G = jax.jit(make_extended_residual(cfg, key, fixed, param=param,
                                        evolve_backend=backend))
     probe = jax.jit(lambda y, t, d: arclength_step(G, y, t, d, ncfg))
@@ -161,7 +166,17 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                                hit_step_limit=len(steps) == n_steps))
         known_pts.extend(_diagram_coords(p) for p in pts)
 
+        # A tunnel candidate must clear the same minimum distance as end
+        # probes — measured against the walked branch in the diagram plane —
+        # or a converged-but-rejected long corrector step landing farther
+        # along the SAME family would be queued as a "new family" and
+        # re-walk a known branch (round-2 advisor finding, ADVICE.md).
+        walk_dc = np.stack([_diagram_coords(p) for p in pts])
         for y_t in tunnels:
+            d_t = _diagram_coords(np.asarray(y_t))
+            if float(np.min(np.linalg.norm(walk_dc - d_t, axis=1))
+                     ) < jump_min_dist:
+                continue
             if queue_seed(y_t, f"tunnel@{origin}:"):
                 break  # one new family per walk end is plenty
         if len(steps) == n_steps:

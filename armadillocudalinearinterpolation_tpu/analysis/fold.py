@@ -25,6 +25,7 @@ out, ``/root/reference/Driver.cu:86-114``).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
@@ -81,13 +82,10 @@ def solve_fold(cfg: ModelConfig, key: jax.Array, Z0, v0, beta0, sigma, *,
                             fd_epsilon=1e-6, fd_mode="central")
     dt_ = cfg.jdtype
     # exact mode would need second derivatives through the event-time
-    # custom JVP; pin finite differences for the extended system
+    # custom JVP; pin finite differences for the extended system.  replace()
+    # keeps every other field (divergence_factor in particular) intact.
     if ncfg.fd_mode == "exact":
-        ncfg = NewtonConfig(tolerance=ncfg.tolerance,
-                            max_iterations=ncfg.max_iterations,
-                            fd_epsilon=1e-6, damping=ncfg.damping,
-                            print_output=ncfg.print_output,
-                            fd_mode="central")
+        ncfg = dataclasses.replace(ncfg, fd_mode="central", fd_epsilon=1e-6)
     backend = "xla"  # H contains a JVP: needs the differentiable path
     del evolve_backend
     H = make_fold_residual(cfg, key, evolve_backend=backend)

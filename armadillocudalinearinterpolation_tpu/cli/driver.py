@@ -341,13 +341,15 @@ def run_boundary(args, cfg, ncfg, key, Z, beta) -> int:
                  sigma=np.array([p.sigma for p in acc]),
                  beta_star=np.array([p.beta_star for p in acc]),
                  beta_fail=np.array([p.beta_fail for p in acc]),
+                 fail_verified=np.array([p.fail_verified for p in acc]),
                  Z=np.stack([p.Z for p in acc]),
                  residual_norm=np.array([p.residual_norm for p in acc]))
 
     def on_point(pt):
         if not args.quiet:
+            tag = "verified" if pt.fail_verified else "UNVERIFIED"
             print(f"sigma={pt.sigma:.4f}: beta* = {pt.beta_star:.4f} "
-                  f"(resolution {abs(pt.beta_fail - pt.beta_star):.1e}, "
+                  f"(fail at {pt.beta_fail:.4f} {tag}, "
                   f"c={float(pt.Z[0]):.4f}, |r|={pt.residual_norm:.2e})",
                   flush=True)
         acc.append(pt)

@@ -76,6 +76,20 @@ def select_pallas_evolve(cfg: ModelConfig, evolve_backend: str) -> bool:
         and jax.default_backend() == "tpu")
 
 
+def differentiable_backend(evolve_backend: str) -> str:
+    """Resolve a backend choice to one safe under ``jax.jacfwd``.
+
+    The Pallas evolve kernel defines no JVP, so any consumer that
+    forward-differentiates the map (``fd_mode="exact"``, arclength bordered
+    systems, Moore-Spence fold tracking) must pin a differentiable evolve
+    path: ``"auto"``/``"pallas"`` resolve to ``"xla"`` (whose while-loop and
+    windowed batched variants both carry the event-time IFT JVP,
+    :mod:`.events`).  Library entry points call this instead of relying on
+    the CLI's guard (round-2 advisor finding, ADVICE.md).
+    """
+    return "xla" if evolve_backend in ("auto", "pallas") else evolve_backend
+
+
 def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
                  beta: jax.Array, *, use_pallas: bool = False):
     """The lift -> evolve -> restrict stages shared by every map variant.

@@ -10,11 +10,11 @@ v5e chip against the XLA gather lowering (chained-iteration timing, see
     unit's algorithmic floor)
   * ``make_interp1d`` (non-uniform nodes): ~0.35 Gq/s, exact vs the XLA
     searchsorted semantics
-  * ``bilinear_batched``: ~0.33 Gq/s vs 0.018 Gq/s XLA at 256x256 (full
-    tent kernel, bf16x2, ~65% MFU — the MXU-FLOP bound of the all-rows
-    algorithm: 4 H*W MACs/query); ~0.17 Gq/s at 1024x1024 via the 2D-binned
-    path (21x XLA; the full kernel exceeds scoped VMEM past ~512x512),
-    near-flat in grid size
+  * ``bilinear_batched``: ~0.48 Gq/s vs 0.018 Gq/s XLA at 256x256 (full
+    tent kernel, bf16x2 with adaptive query sub-tiling, ~95% MFU of the
+    3-matmul algorithmic ceiling — BENCH_r02: 475 Mq/s at 94.8%);
+    ~0.17 Gq/s at 1024x1024 via the 2D-binned path (21x XLA; the full
+    kernel exceeds scoped VMEM past ~512x512), near-flat in grid size
   * ``bilinear_batched_f64``: ~5x the XLA emulated-f64 path at full f64
     accuracy (hi/lo-split corner gather + exact f64 blend)
 
@@ -694,7 +694,8 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     kernel comment).
 
     ``method='full'`` runs every query against the whole grid (tent-weight
-    MXU matmuls, ~65% MFU) — optimal up to ~256x256, VMEM-bound beyond
+    MXU matmuls, ~95% MFU with adaptive query sub-tiling — BENCH_r02
+    measured 475 Mq/s / 94.8% at 256x256x64) — optimal up to ~256x256, VMEM-bound beyond
     ~512x512.  ``method='binned'`` sorts queries into 120x120 bins and runs
     128x128 windows (:func:`_bilinear_binned`) — flat cost in grid size.
     ``'auto'`` picks by grid area.
