@@ -66,7 +66,7 @@ def sample_beta(cfg: ModelConfig, params: MapParams, key: jax.Array
 
 def select_pallas_evolve(cfg: ModelConfig, evolve_backend: str) -> bool:
     """Resolve the evolve-backend switch (shared by every map variant)."""
-    if evolve_backend not in ("auto", "xla", "pallas"):
+    if evolve_backend not in ("auto", "xla", "pallas", "replay"):
         raise ValueError(f"unknown evolve_backend: {evolve_backend!r}")
     return evolve_backend == "pallas" or (
         evolve_backend == "auto"
@@ -91,7 +91,8 @@ def differentiable_backend(evolve_backend: str) -> str:
 
 
 def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
-                 beta: jax.Array, *, use_pallas: bool = False):
+                 beta: jax.Array, *, use_pallas: bool = False,
+                 use_replay: bool = False):
     """The lift -> evolve -> restrict stages shared by every map variant.
 
     Returns ``(U, init_ind, v0, s0, evolve_result, positions)``; callers
@@ -102,7 +103,12 @@ def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
     U = z_to_u(Z)
     init_ind = initial_spike_indices(cfg, Z)
     v0, s0 = lift(cfg, params, U)
-    if use_pallas:
+    if use_replay:
+        # two-pass f32-schedule + df64-replay evolve: f64-grade times at
+        # f32 hardware speed, differentiable (model/replay.py)
+        from .replay import evolve_ensemble_replay
+        res = evolve_ensemble_replay(cfg, v0, s0, beta, init_ind)
+    elif use_pallas:
         from .evolve_pallas import evolve_ensemble_pallas
         res = evolve_ensemble_pallas(cfg, v0, s0, beta, init_ind)
     elif cfg.evolve_window:
@@ -138,7 +144,9 @@ def event_driven_map(cfg: ModelConfig, params: MapParams, key: jax.Array,
       with_diagnostics: also return per-stage intermediates.
       evolve_backend: ``"xla"`` (vmapped while loop, any backend/dtype),
         ``"pallas"`` (single-kernel VMEM event loop, fp32 TPU, ~10x faster at
-        reference scale), or ``"auto"`` (pallas when eligible on TPU).
+        reference scale), ``"replay"`` (f32 schedule pass + df64 replay:
+        f64-grade accuracy at f32 speed, differentiable — the fast path for
+        high-precision solves), or ``"auto"`` (pallas when eligible on TPU).
 
     Returns:
       ``f`` of shape ``(n_spikes,)`` — and ``MapDiagnostics`` if requested.
@@ -148,7 +156,8 @@ def event_driven_map(cfg: ModelConfig, params: MapParams, key: jax.Array,
     beta = sample_beta(cfg, params, key)
     use_pallas = select_pallas_evolve(cfg, evolve_backend)
     U, init_ind, v0, s0, res, positions = run_pipeline(
-        cfg, params, Z, beta, use_pallas=use_pallas)
+        cfg, params, Z, beta, use_pallas=use_pallas,
+        use_replay=evolve_backend == "replay")
     u_mean, count = masked_ensemble_mean(positions, res.accept)
 
     f = assemble_residual(cfg, U, u_mean)

@@ -48,13 +48,24 @@ class _Carry(NamedTuple):
     crossed_time: jax.Array  # (R, M)
     crossed: jax.Array       # (R, M) bool
     n_events: jax.Array      # (R,) int32
+    sched: jax.Array         # (R, E) int32 firing-lane log ((R, 0) if off)
 
 
 def evolve_ensemble_batched(cfg: ModelConfig, w: jax.Array, v0: jax.Array,
                             s0: jax.Array, beta: jax.Array,
-                            init_ind: jax.Array) -> EvolveResult:
+                            init_ind: jax.Array, *,
+                            record_schedule: int = 0):
     """Ensemble evolve as one batched while_loop (windowed when
     ``cfg.evolve_window > 0``).  Drop-in for :func:`.evolve.evolve_ensemble`.
+
+    Args:
+      record_schedule: when > 0, also log the firing-lane index of every
+        event into a ``(n_real, record_schedule)`` int32 buffer and return
+        ``(result, schedule)`` — the input to the df64 schedule replay
+        (:mod:`.replay`), which recomputes exact event times for a *known*
+        firing order.  A realisation overflowing the buffer keeps running
+        (physics unchanged) but its log is truncated; the replay detects
+        this via ``n_events >= record_schedule`` and rejects the row.
     """
     del w  # the kick is recomputed analytically (same formula as the table)
     dt_ = v0.dtype
@@ -80,6 +91,7 @@ def evolve_ensemble_batched(cfg: ModelConfig, w: jax.Array, v0: jax.Array,
         crossed_time=jnp.full((R, M), 2.0 * cfg.t_horizon, dt_),
         crossed=jnp.zeros((R, M), bool),
         n_events=jnp.zeros((R,), jnp.int32),
+        sched=jnp.zeros((R, max(record_schedule, 0)), jnp.int32),
     )
 
     def live_rows(c: _Carry):
@@ -159,6 +171,14 @@ def evolve_ensemble_batched(cfg: ModelConfig, w: jax.Array, v0: jax.Array,
 
         jc = j[:, None]
         tc = t_new[:, None]
+        sched = c.sched
+        if record_schedule > 0:
+            # frozen rows must not clobber their last logged event, so the
+            # write is value-masked (the column index stalls at n_events)
+            rows = jnp.arange(R)
+            col = jnp.minimum(c.n_events, record_schedule - 1)
+            sched = sched.at[rows, col].set(
+                jnp.where(live, j, sched[rows, col]))
         return _Carry(
             v=v, s=s, t=t,
             last_ind=jnp.where(is_last, jc, c.last_ind),
@@ -166,10 +186,14 @@ def evolve_ensemble_batched(cfg: ModelConfig, w: jax.Array, v0: jax.Array,
             crossed_ind=jnp.where(is_cross, jc, c.crossed_ind),
             crossed_time=jnp.where(is_cross, tc, c.crossed_time),
             crossed=c.crossed | is_cross,
-            n_events=c.n_events + live.astype(jnp.int32))
+            n_events=c.n_events + live.astype(jnp.int32),
+            sched=sched)
 
     out = jax.lax.while_loop(cond, body, init)
-    return EvolveResult(
+    result = EvolveResult(
         last_ind=out.last_ind, last_time=out.last_time,
         crossed_ind=out.crossed_ind, crossed_time=out.crossed_time,
         accept=jnp.all(out.crossed, axis=1), n_events=out.n_events)
+    if record_schedule > 0:
+        return result, out.sched
+    return result

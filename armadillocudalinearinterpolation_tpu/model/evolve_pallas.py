@@ -82,8 +82,18 @@ def _r_block(n_neurons: int) -> int:
     return int(max(8, min(128, (rb // 8) * 8)))
 
 
-def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
-                   book0_ref, out_ref, v_s, s_s, t_s, b_s=None):
+def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
+    v0_ref, s0_ref, beta_ref, book0_ref = refs[:4]
+    if record > 0:
+        out_ref, sched_ref = refs[4], refs[5]
+        scratch = refs[6:]
+    else:
+        out_ref, sched_ref = refs[4], None
+        scratch = refs[5:]
+    if 0 < cfg.evolve_window < cfg.n_neurons:
+        v_s, s_s, t_s, b_s = scratch
+    else:
+        (v_s, s_s, t_s), b_s = scratch, None
     N = cfg.n_neurons
     M = cfg.n_spikes
     T = jnp.float32(cfg.t_horizon)
@@ -103,6 +113,13 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
 
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
     out_ref[:] = jnp.broadcast_to(book0_ref[:], (R, _LANE))
+    if record > 0:
+        # firing-order log for the df64 schedule replay (model/replay.py):
+        # every live row processes exactly one event per loop iteration, so
+        # column k of the log IS event k for every row — the write is one
+        # masked (R, E) select, no scatter (f32; indices < 2^24 are exact)
+        lane_E = jax.lax.broadcasted_iota(jnp.int32, (R, record), 1)
+        sched_ref[:] = jnp.zeros((R, record), jnp.float32)
 
     # ---- state init (VMEM refs; the reference's shared-memory load, :591-599)
     if use_window:
@@ -257,7 +274,7 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
                             0)
 
     def loop_body(carry):
-        _, off = carry
+        _, off, k = carry
         if use_window:
             # Re-anchor the standing roll only when the trailing spike has
             # moved SLACK lanes past it (every ~3*SLACK events at reference
@@ -329,6 +346,14 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
         book = out_ref[:]
         j_orig = jnp.mod(j_col + off, N) if use_window else j_col
         jf = j_orig.astype(jnp.float32)                     # (R, 1)
+        if record > 0:
+            # dead rows write garbage past their own n_events — the replay
+            # masks by per-row event count, so no live mask is needed; an
+            # overflowing k (>= record) matches no column and degrades
+            # gracefully (detected downstream via n_events > record)
+            sched_ref[:] = jnp.where(lane_E == k,
+                                     jnp.broadcast_to(jf, (R, record)),
+                                     sched_ref[:])
         jb = jnp.broadcast_to(jf, (R, _LANE))
         tb = jnp.broadcast_to(t_new[:, 0:1], (R, _LANE))
         liveb = jnp.broadcast_to(live[:, 0:1], (R, _LANE))
@@ -367,10 +392,10 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
 
         # f32 count, not integer: under jax_enable_x64 an integer sum builds
         # an int64 accumulator, which Mosaic cannot lower.
-        return jnp.sum(b2f(live_rows())), off
+        return jnp.sum(b2f(live_rows())), off, k + 1
 
     n0 = jnp.sum(b2f(live_rows()))
-    jax.lax.while_loop(loop_cond, loop_body, (n0, off0))
+    jax.lax.while_loop(loop_cond, loop_body, (n0, off0, jnp.int32(0)))
 
     # finalize accept = all crossed flags set
     book = out_ref[:]
@@ -381,19 +406,26 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, v0_ref, s0_ref, beta_ref,
                            book)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "record_schedule"))
 def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
-                           beta: jax.Array, init_ind: jax.Array
-                           ) -> EvolveResult:
+                           beta: jax.Array, init_ind: jax.Array,
+                           record_schedule: int = 0):
     """Drop-in replacement for :func:`.evolve.evolve_ensemble` (fp32, TPU).
 
     ``v0``/``s0`` are the shared ``(n_neurons,)`` lift; ``beta`` is
     ``(n_real, n_neurons)``.  ``n_neurons`` must be a multiple of 128.
     The coupling table argument is not needed (recomputed in-kernel).
+
+    ``record_schedule`` (a multiple of 128 > 0) additionally returns the
+    ``(n_real, record_schedule)`` int32 firing-order log consumed by the
+    df64 schedule replay (:mod:`.replay`) — the in-kernel equivalent of
+    ``evolve_ensemble_batched(record_schedule=...)`` at Pallas speed.
     """
     if cfg.n_neurons % _LANE:
         raise ValueError("n_neurons must be a multiple of 128 for the "
                          "Pallas evolve kernel")
+    if record_schedule and record_schedule % _LANE:
+        raise ValueError("record_schedule must be a multiple of 128")
     M = cfg.n_spikes
     if 5 * M + 2 > _LANE:
         raise ValueError("n_spikes too large for packed output vreg")
@@ -418,11 +450,12 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
 
     # Trace the kernel with 32-bit semantics pinned (see utils/x64.py).
     from ..utils.x64 import x64_safe_call
-    packed = x64_safe_call(lambda: _call_kernel(
-        cfg, r_block, n_blocks, Rp,
+    out = x64_safe_call(lambda: _call_kernel(
+        cfg, r_block, n_blocks, Rp, record_schedule,
         v0.astype(jnp.float32)[None, :],
         s0.astype(jnp.float32)[None, :],
         beta32, book0[None, :]))
+    packed, sched = out if record_schedule else (out, None)
 
     packed = packed[:R]
     last_ind = packed[:, 0:M].astype(jnp.int32)
@@ -431,16 +464,27 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
     crossed_t = packed[:, 3 * M:4 * M]
     accept = packed[:, 4 * M] > 0.5
     n_events = packed[:, 4 * M + 1].astype(jnp.int32)
-    return EvolveResult(last_ind=last_ind, last_time=last_t,
-                        crossed_ind=crossed_ind, crossed_time=crossed_t,
-                        accept=accept, n_events=n_events)
+    result = EvolveResult(last_ind=last_ind, last_time=last_t,
+                          crossed_ind=crossed_ind, crossed_time=crossed_t,
+                          accept=accept, n_events=n_events)
+    if record_schedule:
+        return result, sched[:R].astype(jnp.int32)
+    return result
 
 
-def _call_kernel(cfg, r_block, n_blocks, Rp, v0, s0, beta32, book0):
-    M = cfg.n_spikes
+def _call_kernel(cfg, r_block, n_blocks, Rp, record, v0, s0, beta32, book0):
+    out_shape = jax.ShapeDtypeStruct((Rp, _LANE), jnp.float32)
+    out_spec = pl.BlockSpec((r_block, _LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if record:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((Rp, record), jnp.float32))
+        out_spec = (out_spec,
+                    pl.BlockSpec((r_block, record), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
     return pl.pallas_call(
-        functools.partial(_evolve_kernel, cfg, r_block),
-        out_shape=jax.ShapeDtypeStruct((Rp, _LANE), jnp.float32),
+        functools.partial(_evolve_kernel, cfg, r_block, record),
+        out_shape=out_shape,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, cfg.n_neurons), lambda i: (0, 0),
@@ -452,8 +496,7 @@ def _call_kernel(cfg, r_block, n_blocks, Rp, v0, s0, beta32, book0):
             pl.BlockSpec((1, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r_block, _LANE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32)
             for _ in range(4 if 0 < cfg.evolve_window < cfg.n_neurons else 3)

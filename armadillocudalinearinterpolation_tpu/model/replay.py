@@ -1,0 +1,321 @@
+"""Schedule replay: f64-grade event evolution at f32 hardware speed.
+
+Round 2 measured the cost of precision on TPU: the fully-f64 (XLA-emulated)
+windowed evolve takes ~13 s per N=4096 map evaluation, ~50x the f32 path,
+because every op in the event loop — including the event-time Newton's
+~8 sequential iterations per event over the whole root-find window — pays
+the multi-word f64 emulation (VERDICT.md round 2, next-round item #1).
+
+This module splits the work by *information content*:
+
+1. **Schedule pass (f32, cheap):** the windowed batched evolve
+   (:mod:`.evolve_batched`) runs once in f32 and records only the *discrete*
+   outcome — the firing order ``j_1 .. j_E`` per realisation.  The firing
+   order is locally constant in the map's smooth pieces (it changes exactly
+   at the ~1e-8 event-reordering discontinuities that set the attainable
+   Newton floor, README.md), so f32 resolves it correctly away from ties.
+
+2. **Replay pass (df64, exact):** given the firing order, every event time
+   is the threshold crossing of ONE known neuron per realisation — a scalar
+   root-find instead of a windowed one — and the states advance by closed
+   form.  Both run in double-float arithmetic (:mod:`..utils.df64`): f32
+   pairs carrying 48 mantissa bits on the VPU at f32 speed, no f64
+   emulation anywhere in the loop.  A fixed-length ``lax.scan`` replaces
+   both nested loops (no data-dependent trip counts: the schedule length is
+   known), so the per-event cost is one (R, N) df-exp advance plus O(R)
+   scalar work.
+
+The replay is also the **differentiable fast path** (VERDICT round 2, item
+#2): the scan body is smooth given the schedule — the scalar root carries
+the implicit-function-theorem tangent (:func:`..model.events.event_time`'s
+custom JVP seeds it, the two df64 Newton corrections converge the tangent
+to the IFT value) — so ``jax.jacfwd`` flows through at ~3x forward cost,
+with the schedule pass excluded from differentiation via ``stop_gradient``
+(its tangents are all zero by construction; the derivative of the map's
+smooth piece IS the fixed-schedule derivative).
+
+Consistency guards (all turn into ``accept = False``, the reference's own
+rejection semantics at ``EventDrivenMap.cu:669-672``):
+  * a scheduled neuron whose df64 state cannot fire (f32/df64 disagreement
+    at a grazing event);
+  * a realisation whose schedule log overflowed ``cfg.max_events``.
+
+Reference contract: ``EvolveKernel`` (``/root/reference/EventDrivenMap.cu:575-674``)
+— same recurrence, same bookkeeping, same accept semantics; the two-pass
+split is the TPU-native answer to the reference getting native-double
+arithmetic for free from its CPU/Kepler hardware.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..utils import df64 as D
+from .evolve import EvolveResult
+from .events import event_time, membrane_dfun
+from .evolve_batched import evolve_ensemble_batched
+
+
+class _DFCarry(NamedTuple):
+    v_hi: jax.Array          # (R, N)
+    v_lo: jax.Array
+    s_hi: jax.Array          # (R, N)
+    s_lo: jax.Array
+    t_hi: jax.Array          # (R,)
+    t_lo: jax.Array
+    last_ind: jax.Array      # (R, M) int32
+    last_hi: jax.Array       # (R, M)
+    last_lo: jax.Array
+    crossed_ind: jax.Array   # (R, M) int32
+    crossed_hi: jax.Array    # (R, M)
+    crossed_lo: jax.Array
+    crossed: jax.Array       # (R, M) bool
+    consistent: jax.Array    # (R,) bool
+
+
+def _cmul(a: D.DF, c: float) -> D.DF:
+    """Multiply by a Python-float model constant at full df64 accuracy.
+
+    A constant that happens to be exactly f32-representable (vth=1, a1=11,
+    b1=5 ...) takes the cheap single-word product; one that is not (drive
+    = 0.9!) takes the full pair product — multiplying by ``float32(0.9)``
+    instead leaks 3.6e-8 relative per use (measured: it was the dominant
+    replay error term, ~3e-10 per event through ``I*(1 - e^{-dt})``).
+    """
+    import numpy as np
+    if float(np.float32(c)) == float(c):
+        return D.mul_f32(a, jnp.float32(c))
+    return D.mul(a, D.df_const(c))
+
+
+def _mexhat_df(dist32: jax.Array, cfg: ModelConfig) -> D.DF:
+    """Ring-coupling kick table value ``w(d) * dx`` in df64.
+
+    The index distance ``d`` (and hence ``dist = d * dx``) is exact in f32,
+    so only the exponentials need the pair arithmetic.  Matches
+    :func:`.coupling.coupling_kernel` semantics (``EventDrivenMap.cu:118``).
+    """
+    e1 = D.exp(_cmul(D.df(dist32), -cfg.b1))
+    e2 = D.exp(_cmul(D.df(dist32), -cfg.b2))
+    w = D.sub(_cmul(e1, cfg.a1), _cmul(e2, cfg.a2))
+    return _cmul(w, cfg.dx)
+
+
+def _membrane_df(t: D.DF, v0: D.DF, s0: D.DF, beta: D.DF, inv1mb: D.DF,
+                 cfg: ModelConfig) -> D.DF:
+    """df64 membrane residual ``v(t) - vth`` in the shared-exponential form
+    ``v e_t + I (1 - e_t) + s (e_b - e_t) / (1 - beta) - vth`` with
+    ``e_t = exp(-t)``, ``e_b = exp(-beta t)`` (algebraically equal to
+    ``membrane_fun``, ``EventDrivenMap.cu:544-547``, but with one shared
+    decay factor so the advance below reuses ``e_b``)."""
+    e_t = D.exp(D.neg(t))
+    e_b = D.exp(D.neg(D.mul(beta, t)))
+    acc = D.mul(v0, e_t)
+    acc = D.add(acc, _cmul(D.sub(D.df_const(1.0), e_t), cfg.drive))
+    acc = D.add(acc, D.mul(D.mul(s0, D.sub(e_b, e_t)), inv1mb))
+    return D.sub(acc, D.df_const(cfg.vth))
+
+
+def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
+                  v0: jax.Array, s0: jax.Array, beta: jax.Array,
+                  init_ind: jax.Array) -> EvolveResult:
+    """Replay a recorded firing order in df64 arithmetic.
+
+    Args:
+      cfg: static model config; ``cfg.max_events`` must equal
+        ``schedule.shape[1]`` (the scan length).
+      schedule: ``(n_real, E)`` int32 firing-lane log from the f32 pass.
+      n_sched: ``(n_real,)`` int32 valid event counts.
+      v0, s0: ``(n_neurons,)`` lifted initial state (any float dtype; f64
+        inputs keep their low words through the df64 split).
+      beta: ``(n_real, n_neurons)`` heterogeneous rates.
+      init_ind: ``(n_spikes,)`` initial spike indices.
+
+    Returns:
+      :class:`EvolveResult` with times in ``v0.dtype`` (f64 in, f64-grade
+      out; f32 in, df64-internally-evolved f32 out).
+    """
+    R, E = schedule.shape
+    N = cfg.n_neurons
+    M = cfg.n_spikes
+    out_dt = v0.dtype
+    f64 = out_dt == jnp.float64
+
+    def to_df(x):
+        return D.from_f64(x) if x.dtype == jnp.float64 else D.df(x)
+
+    cfg32 = cfg.with_(dtype="float32", root_tol=max(cfg.root_tol, 1e-6))
+    beta_df = to_df(beta)
+    v_init = D.DF(*[jnp.broadcast_to(h, (R, N)) for h in to_df(v0)])
+    s_init = D.DF(*[jnp.broadcast_to(h, (R, N)) for h in to_df(s0)])
+    # 1/(1 - beta): fixed through the evolution — one df64 division up front
+    # removes every per-event division from the loop
+    inv1mb = D.div(D.df_const(1.0), D.sub(D.df_const(1.0), beta_df))
+    beta32 = D.to_f32(beta_df)
+    lane = jnp.arange(N, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(R)
+    T_df = D.df_const(cfg.t_horizon)
+
+    init = _DFCarry(
+        v_hi=v_init.hi, v_lo=v_init.lo, s_hi=s_init.hi, s_lo=s_init.lo,
+        t_hi=jnp.zeros((R,), jnp.float32), t_lo=jnp.zeros((R,), jnp.float32),
+        last_ind=jnp.broadcast_to(init_ind.astype(jnp.int32), (R, M)),
+        last_hi=jnp.zeros((R, M), jnp.float32),
+        last_lo=jnp.zeros((R, M), jnp.float32),
+        crossed_ind=jnp.broadcast_to(init_ind.astype(jnp.int32), (R, M)),
+        crossed_hi=jnp.full((R, M), 2.0 * cfg.t_horizon, jnp.float32),
+        crossed_lo=jnp.zeros((R, M), jnp.float32),
+        crossed=jnp.zeros((R, M), bool),
+        # schedule-log overflow (n_sched > E: the f32 pass kept running
+        # past the buffer, clobbering the last slot) — reject up front
+        consistent=n_sched <= E,
+    )
+
+    def body(c: _DFCarry, xs):
+        e_idx, j = xs                                     # (), (R,)
+        live = e_idx < n_sched                            # (R,)
+        v = D.DF(c.v_hi, c.v_lo)
+        s = D.DF(c.s_hi, c.s_lo)
+        t = D.DF(c.t_hi, c.t_lo)
+
+        # --- scalar root-find for the ONE scheduled neuron per row -------
+        vj = D.DF(c.v_hi[rows, j], c.v_lo[rows, j])
+        sj = D.DF(c.s_hi[rows, j], c.s_lo[rows, j])
+        bj = D.DF(beta_df.hi[rows, j], beta_df.lo[rows, j])
+        ibj = D.DF(inv1mb.hi[rows, j], inv1mb.lo[rows, j])
+        dt32 = event_time(D.to_f32(vj), D.to_f32(sj), beta32[rows, j], cfg32)
+        # a no-fire sentinel (>= 100, EventDrivenMap.cu:571) here means the
+        # df64 state disagrees with the f32 schedule at a grazing event —
+        # substitute a harmless step and reject the realisation
+        misfire = dt32 > jnp.float32(50.0)
+        dt = D.df(jnp.where(misfire, jnp.float32(0.05), dt32))
+        bj32 = beta32[rows, j]
+        for _ in range(2):      # two df64 Newton polishes: f32 root -> df64
+            fval = _membrane_df(dt, vj, sj, bj, ibj, cfg)
+            fp = membrane_dfun(dt.hi, D.to_f32(vj), D.to_f32(sj), bj32,
+                               cfg32)
+            fp = jnp.where(jnp.abs(fp) > jnp.float32(1e-12), fp,
+                           jnp.float32(1.0))
+            dt = D.sub(dt, D.df(D.to_f32(fval) / fp))
+
+        # --- advance all N lanes by dt (closed form; ONE (R,N) df-exp
+        # for the membrane/synapse shared decay, two for the kick) --------
+        dt_row = dt
+        e_t = D.exp(D.neg(dt_row))                        # (R,) df
+        e_t2 = D.DF(e_t.hi[:, None], e_t.lo[:, None])     # (R,1)
+        # full error-free product: dropping the hi*hi rounding term here
+        # (measured) leaks ~8e-9 absolute per event into e_b and the times
+        # drift to ~1e-6 over a trajectory — two_prod is not optional
+        bdt = D.mul(beta_df, D.DF(dt_row.hi[:, None], dt_row.lo[:, None]))
+        e_b = D.exp(D.neg(bdt))                           # (R,N)
+
+        v_adv = D.mul(v, e_t2)
+        v_adv = D.add(v_adv, _cmul(D.sub(D.df_const(1.0), e_t2), cfg.drive))
+        v_adv = D.add(v_adv, D.mul(D.mul(s, D.sub(e_b, e_t2)), inv1mb))
+        fired = lane == j[:, None]
+        v_new = D.where(fired, D.df_const(0.0, (1, 1)), v_adv)
+
+        d = jnp.abs(lane - j[:, None]).astype(jnp.float32)
+        dist = jnp.minimum(d, jnp.float32(N) - d) * jnp.float32(cfg.dx)
+        kick = D.mul(beta_df, _mexhat_df(dist, cfg))
+        s_new = D.add(D.mul(s, e_b), kick)
+        t_new = D.add(t, dt_row)
+
+        livec = live[:, None]
+        v = D.where(livec, v_new, v)
+        s = D.where(livec, s_new, s)
+        t = D.where(live, t_new, t)
+
+        # --- bookkeeping: identical classification to evolve_batched -----
+        m = jnp.argmin(jnp.abs(j[:, None] - c.last_ind), axis=1)  # (R,)
+        onehot = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1) == m[:, None]
+        fresh = ~c.crossed[rows, m]
+        after = D.greater(t_new, T_df)                    # exact df compare
+        is_cross = (fresh & after & live)[:, None] & onehot
+        is_last = (fresh & ~after & live)[:, None] & onehot
+        jc = j[:, None]
+        tc_hi, tc_lo = t_new.hi[:, None], t_new.lo[:, None]
+
+        return _DFCarry(
+            v_hi=v.hi, v_lo=v.lo, s_hi=s.hi, s_lo=s.lo,
+            t_hi=t.hi, t_lo=t.lo,
+            last_ind=jnp.where(is_last, jc, c.last_ind),
+            last_hi=jnp.where(is_last, tc_hi, c.last_hi),
+            last_lo=jnp.where(is_last, tc_lo, c.last_lo),
+            crossed_ind=jnp.where(is_cross, jc, c.crossed_ind),
+            crossed_hi=jnp.where(is_cross, tc_hi, c.crossed_hi),
+            crossed_lo=jnp.where(is_cross, tc_lo, c.crossed_lo),
+            crossed=c.crossed | is_cross,
+            consistent=c.consistent & ~(misfire & live),
+        ), None
+
+    xs = (jnp.arange(E, dtype=jnp.int32), schedule.T)
+    out, _ = jax.lax.scan(body, init, xs)
+
+    def times(hi, lo):
+        if f64:
+            return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        return (hi + lo).astype(out_dt)
+
+    return EvolveResult(
+        last_ind=out.last_ind,
+        last_time=times(out.last_hi, out.last_lo),
+        crossed_ind=out.crossed_ind,
+        crossed_time=times(out.crossed_hi, out.crossed_lo),
+        accept=jnp.all(out.crossed, axis=1) & out.consistent,
+        n_events=n_sched)
+
+
+def compute_schedule(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
+                     beta: jax.Array, init_ind: jax.Array, *,
+                     schedule_backend: str = "auto"):
+    """f32 schedule-discovery pass: returns ``(schedule, n_events)``.
+
+    ``schedule_backend``: ``"pallas"`` records the firing order inside the
+    VMEM event kernel (the XLA while-loop pays per-iteration overhead for
+    every event x inner Newton step; measured ~13x at N=4096), ``"xla"``
+    uses the windowed batched loop (any platform), and ``"auto"`` picks
+    Pallas when the kernel's constraints hold on TPU.  Inputs pass through
+    ``stop_gradient``: the schedule is discrete, and excluding the pass
+    from differentiation is what makes ``jacfwd`` of the replay cost ~3x a
+    forward evaluation instead of also dragging tangents through the
+    discovery loop.
+    """
+    E_rec = -(-cfg.max_events // 128) * 128      # kernel wants lane-aligned
+    sg = jax.lax.stop_gradient
+    v32 = sg(v0.astype(jnp.float32))
+    s32 = sg(s0.astype(jnp.float32))
+    b32 = sg(beta.astype(jnp.float32))
+    cfg32 = cfg.with_(dtype="float32", root_tol=max(cfg.root_tol, 1e-6))
+    use_pallas = schedule_backend == "pallas" or (
+        schedule_backend == "auto"
+        and cfg.n_neurons % 128 == 0
+        and 5 * cfg.n_spikes + 2 <= 128
+        and jax.default_backend() == "tpu")
+    if use_pallas:
+        from .evolve_pallas import evolve_ensemble_pallas
+        res32, sched = evolve_ensemble_pallas(cfg32, v32, s32, b32, init_ind,
+                                              record_schedule=E_rec)
+    else:
+        res32, sched = evolve_ensemble_batched(
+            cfg32, None, v32, s32, b32, init_ind, record_schedule=E_rec)
+    return sched, sg(res32.n_events)
+
+
+def evolve_ensemble_replay(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
+                           beta: jax.Array, init_ind: jax.Array, *,
+                           schedule_backend: str = "auto") -> EvolveResult:
+    """Two-pass evolve: f32 schedule discovery + df64 replay.
+
+    Drop-in for :func:`.evolve.evolve_ensemble` at f64-grade accuracy on
+    any backend, differentiable under ``jax.jacfwd`` (the schedule pass is
+    behind ``stop_gradient``; derivatives flow through the replay only —
+    the exact derivative of the map's smooth piece).
+    """
+    sched, n_ev = compute_schedule(cfg, v0, s0, beta, init_ind,
+                                   schedule_backend=schedule_backend)
+    return replay_events(cfg, sched, n_ev, v0, s0, beta, init_ind)

@@ -236,6 +236,7 @@ def newton_solve_host(
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     criterion: Optional[Criterion] = None,
     serial_fd: bool = False,
+    jit_cache: Optional[dict] = None,
 ) -> NewtonResult:
     """Host-driven Newton: same semantics as :func:`newton_solve`, but the
     outer loop runs in Python with one short device program per step.
@@ -255,15 +256,21 @@ def newton_solve_host(
       serial_fd: evaluate finite-difference Jacobian columns as separate
         dispatches (n+1 short programs) instead of one ``vmap`` batch —
         trades throughput for the shortest possible device programs.
+      jit_cache: optional dict reused across calls with the SAME ``F`` —
+        keeps the jitted residual/Jacobian wrappers (and their trace
+        caches) alive, so a second solve pays zero re-tracing (the replay
+        map's trace alone is ~13 s at N=4096).
     """
     test = criterion if criterion is not None else residual_norm_criterion(
         cfg.tolerance)
     n = x0.shape[0]
     dt_ = x0.dtype
-    Fj = jax.jit(F)
+    cache = jit_cache if jit_cache is not None else {}
+    Fj = cache.setdefault("F", jax.jit(F))
     # hoisted so exact mode traces/lowers the Jacobian program once, not
     # once per iteration (a fresh jax.jit wrapper has an empty trace cache)
-    Jf = jax.jit(jax.jacfwd(Fj)) if cfg.fd_mode == "exact" else None
+    Jf = (cache.setdefault("J", jax.jit(jax.jacfwd(Fj)))
+          if cfg.fd_mode == "exact" else None)
     eps = cfg.fd_epsilon
 
     if cfg.print_output:
@@ -327,6 +334,7 @@ def frozen_jacobian_polish(
     *,
     max_iterations: int = 8,
     tolerance: float = 0.0,
+    jit_cache: Optional[dict] = None,
 ) -> NewtonResult:
     """Quasi-Newton polish with a frozen Jacobian, keeping the best iterate.
 
@@ -340,7 +348,8 @@ def frozen_jacobian_polish(
     deepest point of the landscape found.  The returned ``residual_norm``
     is a plain ``|F(solution)|`` — independently verifiable.
     """
-    Fj = jax.jit(F)
+    cache = jit_cache if jit_cache is not None else {}
+    Fj = cache.setdefault("F", jax.jit(F))
     x = x0
     best_x, best_f, best_norm = x0, None, float("inf")
     # A frozen-Jacobian iteration on a jumpy landscape can lock into a

@@ -310,10 +310,13 @@ def bench_newton_1e8():
     Hybrid precision, matching the reference's double-solver-over-float-map
     split at the modern target (NewtonSolver.cpp runs in double; the judged
     tolerance is 1e-8): a jitted fp32 Newton (Pallas evolve) takes the
-    iterate to ~5e-5, then an f64 polish (XLA f64 emulation on the TPU,
-    exact forward-mode Jacobian via the event-time IFT JVP) converges to
-    the 1e-8 target.  Host-driven outer loop keeps every device program
-    bounded (the tunneled worker kills >10 min programs).
+    iterate to ~2e-5, then the df64 schedule-replay path (model/replay.py:
+    Pallas f32 schedule pass + double-float replay, ~0.6 s/eval vs 13 s for
+    XLA's emulated f64 in round 2) converges to the 1e-8 target with exact
+    forward-mode Jacobians through the replay scan.  Host-driven outer loop
+    keeps every device program bounded (the tunneled worker kills >10 min
+    programs).  Returns the df64-vs-emulated-f64 residual delta alongside
+    (one XLA-f64 evaluation at the solution, outside the timed solve).
     """
     from armadillocudalinearinterpolation_tpu import (
         ModelConfig, MapParams, NewtonConfig, make_residual_fn,
@@ -324,7 +327,6 @@ def bench_newton_1e8():
     jax.config.update("jax_enable_x64", True)
     key = jax.random.PRNGKey(0)
     Z0 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float32)
-    t0 = time.perf_counter()
 
     # Stage 1: fp32 fast path (windowed Pallas evolve) to ~2e-5 in its own
     # metric; the certified window is exact, so the staged trajectory is
@@ -335,29 +337,59 @@ def bench_newton_1e8():
     F32 = make_residual_fn(cfg32, params32, key)
     n32 = NewtonConfig(tolerance=1e-8, max_iterations=6, fd_epsilon=1e-3,
                        fd_mode="central")
-    r32 = jax.jit(lambda z: newton_solve(F32, z, n32))(Z0)
-    _ = float(r32.residual_norm)  # sync
+    solve32 = jax.jit(lambda z: newton_solve(F32, z, n32))
 
-    # Stage 2: f64 (XLA emulation on-chip) exact-Jacobian Newton to the
-    # map's discontinuity scale (~1e-8 at N=4096: event-reordering jumps).
-    # windowed root-finds (certified exact, evolve_batched.py) cut the
-    # f64-emulated transcendental load ~N/W-fold where it dominates
+    # Stage 2/3 function set: df64 replay Newton to the map's discontinuity
+    # scale (~1e-8 at N=4096: event-reordering jumps).  fd_mode="exact"
+    # jacfwds through the replay scan (IFT tangents at every scalar root) —
+    # no FD epsilon, no schedule-flip differencing noise.
     cfg64 = ModelConfig(n_neurons=4096, n_real=64, dtype="float64",
-                        root_tol=1e-12, evolve_window=512)
+                        root_tol=1e-12, evolve_window=512, max_events=4096)
     params64 = MapParams.create(13.0589, 0.1, dtype="float64")
-    F64 = make_residual_fn(cfg64, params64, key, evolve_backend="xla")
-    n64 = NewtonConfig(tolerance=1e-9, max_iterations=2, fd_mode="exact")
-    res = newton_solve_host(F64, r32.solution.astype(jnp.float64), n64)
+    F64 = make_residual_fn(cfg64, params64, key, evolve_backend="replay")
+    n64 = NewtonConfig(tolerance=1e-9, max_iterations=3, fd_mode="exact")
 
-    # Stage 3: frozen-Jacobian best-iterate polish samples the jump
-    # landscape (one eval per step) and keeps the deepest point.  Measured
-    # samples around this root bounce in [4e-9, 6e-8]; 16 draws put the
-    # best comfortably under the 1e-8 target.
-    pol = frozen_jacobian_polish(F64, res.solution, res.jacobian,
-                                 max_iterations=16, tolerance=9e-9)
+    jits = {}  # shared across passes: the replay trace alone is ~13 s
+
+    def staged_solve(z0):
+        r32 = solve32(z0)
+        _ = float(r32.residual_norm)  # sync
+        res = newton_solve_host(F64, r32.solution.astype(jnp.float64), n64,
+                                jit_cache=jits)
+        # Frozen-Jacobian best-iterate polish as a safety net: if the full
+        # Newton stage bottoms out above target on the jump landscape, one
+        # cheap eval per step samples for a deeper point (round-2 recipe;
+        # with the replay path stage 2 usually lands < 1e-8 by itself and
+        # the polish exits after its first residual check).
+        pol = frozen_jacobian_polish(F64, res.solution, res.jacobian,
+                                     max_iterations=16, tolerance=9e-9,
+                                     jit_cache=jits)
+        iters = (int(r32.iterations) + int(res.iterations)
+                 + int(pol.iterations))
+        return pol, iters
+
+    # Cold pass: includes tracing + (server-cached) kernel compiles.  A
+    # production continuation pays this once per process and then runs the
+    # compiled solve per parameter step, so the headline is the warm pass —
+    # started from a perturbed Z0 (different solve, same programs; identical
+    # args would risk the tunnel's dispatch dedupe).
+    t0 = time.perf_counter()
+    pol_cold, iters = staged_solve(Z0)
+    t_cold = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pol, iters = staged_solve(Z0 + jnp.float32(1e-3))
     t_solve = time.perf_counter() - t0
-    iters = (int(r32.iterations) + int(res.iterations) + int(pol.iterations))
-    return t_solve, iters, float(pol.residual_norm)
+
+    # VERDICT r3 deliverable: df64-replay vs XLA-emulated-f64 residual
+    # delta at the solution (NOT part of the timed solve; the emulated
+    # evaluation alone costs ~13 s — the whole point of the replay path)
+    F_emu = make_residual_fn(cfg64, params64, key, evolve_backend="xla")
+    d_emu = float(jnp.max(jnp.abs(F_emu(pol.solution)
+                                  - F64(pol.solution))))
+    return (t_solve, t_cold, iters,
+            max(float(pol.residual_norm), float(pol_cold.residual_norm)),
+            d_emu)
 
 
 def main():
@@ -448,10 +480,12 @@ def main():
 
     try:
         _stage("newton_1e8")
-        t_solve, iters, norm = bench_newton_1e8()
+        t_solve, t_cold, iters, norm, d_emu = bench_newton_1e8()
         extras["newton_N4096_s"] = round(t_solve, 2)
+        extras["newton_N4096_cold_s"] = round(t_cold, 2)
         extras["newton_iters"] = iters
         extras["newton_final_norm"] = norm
+        extras["replay_vs_f64emu_residual_delta"] = d_emu
     except Exception as e:
         extras["newton_error"] = str(e)[:200]
 

@@ -1,0 +1,82 @@
+"""Double-float arithmetic (utils/df64.py) against numpy double.
+
+The critical regression here is the jit one: XLA's algebraic simplifier
+reassociates add/sub chains when one operand is a literal, which silently
+collapses error-free transformations to plain f32 (measured before the
+``df_const`` optimization-barrier fix: ``add(df_const(1.0), r)`` lost its
+low word under jit while matching numpy eagerly).  Every check therefore
+runs through ``jax.jit``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armadillocudalinearinterpolation_tpu.utils import df64 as D
+
+
+@pytest.fixture(scope="module")
+def samples():
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-20.0, 3.0, 20000)
+    y = rng.uniform(-5.0, 5.0, 20000)
+    y[np.abs(y) < 1e-3] = 1.0
+    return x, y
+
+
+def _relerr(got, ref):
+    return np.max(np.abs((np.asarray(got) - ref)
+                         / np.maximum(np.abs(ref), 1e-300)))
+
+
+def test_roundtrip_f64(samples):
+    x, _ = samples
+    xd = D.from_f64(jnp.asarray(x))
+    # hi/lo split of a double keeps ~48 bits
+    assert _relerr(D.to_f64(xd), x) < 2e-14
+
+
+def test_arithmetic_jit(samples):
+    x, y = samples
+    xd, yd = D.from_f64(jnp.asarray(x)), D.from_f64(jnp.asarray(y))
+    f = jax.jit(lambda a, b: (D.to_f64(D.add(a, b)), D.to_f64(D.mul(a, b)),
+                              D.to_f64(D.div(a, b)),
+                              D.to_f64(D.sub(a, b))))
+    s, p, q, d = f(xd, yd)
+    assert np.max(np.abs(np.asarray(s) - (x + y))) < 1e-12
+    assert _relerr(p, x * y) < 1e-13
+    assert _relerr(q, x / y) < 1e-13
+    assert np.max(np.abs(np.asarray(d) - (x - y))) < 1e-12
+
+
+def test_exp_jit(samples):
+    x, _ = samples
+    xd = D.from_f64(jnp.asarray(x))
+    e = jax.jit(lambda a: D.to_f64(D.exp(a)))(xd)
+    assert _relerr(e, np.exp(x)) < 1e-12
+
+
+def test_jit_constant_reassociation_guard():
+    """add(const, x) must keep its error term under jit (the XLA literal-
+    reassociation regression the df_const barrier exists for)."""
+    r = D.from_f64(jnp.asarray([1.3e-3, -2.7e-4, 5e-9]))
+    got = jax.jit(lambda a: D.to_f64(D.add(D.df_const(1.0), a)))(r)
+    ref = 1.0 + np.asarray([1.3e-3, -2.7e-4, 5e-9])
+    assert np.max(np.abs(np.asarray(got) - ref)) < 1e-14
+
+
+def test_exact_comparison_on_pairs():
+    a = D.DF(jnp.float32(1.0), jnp.float32(1e-9))
+    b = D.DF(jnp.float32(1.0), jnp.float32(2e-9))
+    assert bool(D.less(a, b)) and not bool(D.less(b, a))
+    assert bool(D.greater(b, a))
+
+
+def test_mul_f32_and_scale_pow2():
+    x = np.asarray([0.1, -3.7, 12.0])
+    xd = D.from_f64(jnp.asarray(x))
+    got = jax.jit(lambda a: D.to_f64(D.mul_f32(a, jnp.float32(3.0))))(xd)
+    assert _relerr(got, 3.0 * x) < 1e-13
+    got2 = jax.jit(lambda a: D.to_f64(D.scale_pow2(a, jnp.int32(-4))))(xd)
+    assert _relerr(got2, x / 16.0) < 1e-15

@@ -1,0 +1,160 @@
+"""Schedule replay (model/replay.py): f64-grade evolve at f32 arithmetic.
+
+Oracle: the fully-f64 windowed batched evolve / map on the CPU backend.
+The replay must reproduce its crossing times and residuals to ~1e-10 while
+computing exclusively in f32 pairs, and must be forward-differentiable
+(VERDICT r2 items #1 and #2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import armadillocudalinearinterpolation_tpu as alt
+from armadillocudalinearinterpolation_tpu.model import lift as liftm
+from armadillocudalinearinterpolation_tpu.model import replay
+from armadillocudalinearinterpolation_tpu.model.emap import (
+    event_driven_map, make_residual_fn, sample_beta, z_to_u)
+from armadillocudalinearinterpolation_tpu.model.evolve_batched import (
+    evolve_ensemble_batched)
+
+Z64 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float64)
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return alt.ModelConfig(n_neurons=512, n_real=8, dtype="float64",
+                           root_tol=1e-12, max_events=2048)
+
+
+@pytest.fixture(scope="module")
+def pieces(cfg):
+    params = alt.MapParams.create(13.0589, 0.1, dtype="float64")
+    beta = sample_beta(cfg, params, KEY)
+    init_ind = liftm.initial_spike_indices(cfg, Z64)
+    v0, s0 = liftm.lift(cfg, params, z_to_u(Z64))
+    return params, beta, init_ind, v0, s0
+
+
+def test_replay_matches_f64_evolve(cfg, pieces):
+    _, beta, init_ind, v0, s0 = pieces
+    res64, sched = evolve_ensemble_batched(cfg, None, v0, s0, beta, init_ind,
+                                           record_schedule=cfg.max_events)
+    rep = replay.replay_events(cfg, sched, res64.n_events, v0, s0, beta,
+                               init_ind)
+    assert bool(jnp.all(rep.accept == res64.accept))
+    assert int(jnp.sum(rep.crossed_ind != res64.crossed_ind)) == 0
+    assert int(jnp.sum(rep.last_ind != res64.last_ind)) == 0
+    assert float(jnp.max(jnp.abs(rep.crossed_time - res64.crossed_time))) \
+        < 1e-10
+    assert float(jnp.max(jnp.abs(rep.last_time - res64.last_time))) < 1e-10
+
+
+def test_replay_backend_residual_matches_f64(cfg):
+    params = alt.MapParams.create(13.0589, 0.1, dtype="float64")
+    f_ref = event_driven_map(cfg, params, KEY, Z64, evolve_backend="xla")
+    f_rep = event_driven_map(cfg, params, KEY, Z64, evolve_backend="replay")
+    assert float(jnp.max(jnp.abs(f_ref - f_rep))) < 1e-10
+
+
+def test_replay_f32_inputs_beat_plain_f32_evolution(cfg, pieces):
+    """With f32 inputs the replay still evolves in df64 internally — its
+    crossing times must sit orders of magnitude closer to the f64
+    evolution OF THE SAME INPUTS than the plain f32 evolution does.
+
+    (All three paths share bitwise-identical f32 initial state and rates,
+    so the comparison isolates evolution arithmetic, not input rounding.)
+    """
+    _, beta, init_ind, v0, s0 = pieces
+    v32 = v0.astype(jnp.float32)
+    s32 = s0.astype(jnp.float32)
+    b32 = beta.astype(jnp.float32)
+    cfg32 = cfg.with_(dtype="float32", root_tol=1e-6)
+    # f64 oracle evolution of the f32-rounded inputs
+    ref = evolve_ensemble_batched(
+        cfg, None, v32.astype(jnp.float64), s32.astype(jnp.float64),
+        b32.astype(jnp.float64), init_ind)
+    plain = evolve_ensemble_batched(cfg32, None, v32, s32, b32, init_ind)
+    rep = replay.evolve_ensemble_replay(cfg32, v32, s32, b32, init_ind)
+    err_plain = float(jnp.max(jnp.abs(
+        plain.crossed_time.astype(jnp.float64) - ref.crossed_time)))
+    err_rep = float(jnp.max(jnp.abs(
+        rep.crossed_time.astype(jnp.float64) - ref.crossed_time)))
+    # replay is limited only by the final f32 rounding of the times
+    # (~3e-7 at t ~ 5); the plain f32 loop accumulates far past that
+    assert err_rep < 1e-6
+    assert err_rep < 0.05 * err_plain
+
+
+def test_schedule_overflow_rejects_rows(cfg, pieces):
+    _, beta, init_ind, v0, s0 = pieces
+    res64, sched = evolve_ensemble_batched(cfg, None, v0, s0, beta, init_ind,
+                                           record_schedule=cfg.max_events)
+    # pretend the log overflowed: n_sched > E must reject every such row
+    fake_n = res64.n_events.at[0].set(sched.shape[1] + 5)
+    rep = replay.replay_events(cfg, sched, fake_n, v0, s0, beta, init_ind)
+    assert not bool(rep.accept[0])
+    assert bool(jnp.all(rep.accept[1:] == res64.accept[1:]))
+
+
+def test_jacfwd_through_replay_matches_fd(cfg):
+    """VERDICT r2 #2 done-criterion: jacfwd-vs-FD agreement.
+
+    The exact Jacobian flows through the replay scan (IFT tangents at the
+    scalar roots, stop_gradient on the schedule pass); central differences
+    on the f64 XLA path are the independent check.
+    """
+    from armadillocudalinearinterpolation_tpu.solvers.newton import (
+        central_fd_jacobian)
+    params = alt.MapParams.create(13.0589, 0.1, dtype="float64")
+    F_rep = make_residual_fn(cfg, params, KEY, evolve_backend="replay")
+    F_ref = make_residual_fn(cfg, params, KEY, evolve_backend="xla")
+    J_exact = jax.jacfwd(F_rep)(Z64)
+    J_fd = central_fd_jacobian(F_ref, Z64, 1e-6)
+    assert float(jnp.max(jnp.abs(J_exact - J_fd))) < 1e-4
+
+
+def test_newton_converges_on_replay_backend(cfg):
+    """Exact-mode Newton on the replay backend: the differentiable fast
+    path must drive the residual to 1e-9 (reference contract:
+    NewtonSolver.cpp:40-161 at double precision)."""
+    params = alt.MapParams.create(13.0589, 0.0, dtype="float64")
+    F = make_residual_fn(cfg, params, KEY, evolve_backend="replay")
+    ncfg = alt.NewtonConfig(tolerance=1e-9, max_iterations=10,
+                            fd_mode="exact")
+    res = alt.newton_solve(F, Z64, ncfg)
+    assert bool(res.converged)
+    assert float(res.residual_norm) <= 1e-9
+    # same fixed point as the f64 oracle path finds (verify-skill values)
+    sol = np.asarray(res.solution)
+    assert np.allclose(sol, [0.32623663, 0.71936722, 1.36899475], atol=5e-5)
+
+
+def test_pallas_schedule_source_interpret(cfg, pieces):
+    """The Pallas schedule pass (interpret mode off-TPU) must produce a
+    schedule the replay accepts, matching the XLA pass's event counts."""
+    from armadillocudalinearinterpolation_tpu.model import evolve_pallas
+    _, beta, init_ind, v0, s0 = pieces
+    cfg32 = cfg.with_(dtype="float32", root_tol=1e-6)
+    old = evolve_pallas._INTERPRET
+    evolve_pallas._INTERPRET = True
+    try:
+        res_p, sched_p = evolve_pallas.evolve_ensemble_pallas(
+            cfg32, v0.astype(jnp.float32), s0.astype(jnp.float32),
+            beta.astype(jnp.float32), init_ind, record_schedule=2048)
+    finally:
+        evolve_pallas._INTERPRET = old
+    res_x, sched_x = evolve_ensemble_batched(
+        cfg32, None, v0.astype(jnp.float32), s0.astype(jnp.float32),
+        beta.astype(jnp.float32), init_ind, record_schedule=2048)
+    assert bool(jnp.all(res_p.n_events == res_x.n_events))
+    # identical f32 arithmetic orders are not guaranteed between the two
+    # passes; near-tie flips are allowed but must be rare
+    n = int(res_x.n_events[0])
+    match = int(jnp.sum(sched_p[:, :n] == sched_x[:, :n]))
+    assert match > 0.99 * sched_x[:, :n].size
+    rep = replay.replay_events(cfg, sched_p.astype(jnp.int32),
+                               res_p.n_events, v0, s0, beta, init_ind)
+    assert bool(jnp.all(rep.accept))
