@@ -274,6 +274,38 @@ def bench_pallas_parity():
             float(jnp.max(jnp.abs(f_w - f_p))), d_p64, d_x64)
 
 
+def bench_shard_map_pallas():
+    """VERDICT r3 #5: the shard_map + Pallas combination executed for real.
+
+    The CPU virtual-mesh tests exercise ``make_shard_map_residual_fn`` with
+    the XLA backend only (the Pallas kernel needs a TPU); here the Pallas
+    evolve runs under ``shard_map`` on a 1-device mesh on the real chip and
+    must reproduce the unsharded Pallas map evaluated with the same
+    per-device key fold (identical draws, trivial psum -> delta ~ 0).
+    """
+    from armadillocudalinearinterpolation_tpu import (
+        ModelConfig, MapParams, event_driven_map)
+    from armadillocudalinearinterpolation_tpu.parallel import (
+        make_mesh, make_shard_map_residual_fn)
+
+    cfg = ModelConfig(n_neurons=1024, n_real=256, dtype="float32",
+                      evolve_window=128)
+    params = MapParams.create(13.0589, 0.1, dtype="float32")
+    key = jax.random.PRNGKey(0)
+    Z = jnp.array([0.3310, 0.6914, 1.3557], jnp.float32)
+    mesh = make_mesh({"real": 1})
+    F = make_shard_map_residual_fn(cfg, params, key, mesh,
+                                   evolve_backend="pallas")
+    with mesh:
+        f_sharded = jax.jit(F)(Z)
+        f_sharded = np.asarray(f_sharded)
+    # unsharded reference with the sharded path's device-0 key fold
+    f_ref = np.asarray(event_driven_map(
+        cfg, params, jax.random.fold_in(key, 0), Z,
+        evolve_backend="pallas"))
+    return float(np.max(np.abs(f_sharded - f_ref)))
+
+
 def bench_map_eval():
     """Config 3: map evaluation at N=1024, R=1024 (windowed Pallas evolve)."""
     from armadillocudalinearinterpolation_tpu import (
@@ -461,6 +493,12 @@ def main():
         extras["xla_f32_vs_f64_residual_delta"] = d_x64
     except Exception as e:
         extras["parity_error"] = str(e)[:200]
+
+    try:
+        _stage("shard_map_pallas")
+        extras["shard_map_pallas_residual_delta"] = bench_shard_map_pallas()
+    except Exception as e:
+        extras["shard_map_pallas_error"] = str(e)[:200]
 
     try:
         _stage("map_eval")
