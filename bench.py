@@ -424,6 +424,65 @@ def bench_newton_1e8():
             d_emu)
 
 
+def bench_sweep_100pt():
+    """BASELINE config 5: 100-point continuation sweep with per-step
+    eigenspectrum — the reference's commented-out production loop
+    (``/root/reference/Driver.cu:86-114``: ``beta += 0.1`` from 13.0589,
+    solve, count unstable eigenvalues), run for real at the reference's
+    driver scale (N=512 neurons, ~1k realisations, Newton tol 1e-4 / <= 10
+    iterations, ``Driver.cu:28-31,69``).
+
+    One jitted solve serves every step (``MapParams`` is traced, so the
+    sweep never recompiles); the eigenspectrum reuses the solve's exported
+    Jacobian (the reference's ``pJacobianExternal`` flow,
+    ``NewtonSolver.cpp:153-159``) with the 3x3 eig on the host, exactly as
+    the reference runs Armadillo's ``eig_gen`` beside the GPU.  Steps where
+    the wave family has ended fail to converge and still pay their full
+    iteration budget, as the reference's loop would.
+    """
+    from armadillocudalinearinterpolation_tpu import (
+        ModelConfig, MapParams, NewtonConfig, make_residual_fn,
+        newton_solve, ProblemType)
+    from armadillocudalinearinterpolation_tpu.analysis.stability import (
+        compute_eigenvalues, count_unstable)
+
+    cfg = ModelConfig(n_neurons=512, n_real=1024, dtype="float32",
+                      evolve_window=128)
+    ncfg = NewtonConfig(tolerance=1e-4, max_iterations=10, fd_epsilon=1e-2)
+    key = jax.random.PRNGKey(0)
+    Z = jnp.array([0.3310, 0.6914, 1.3557], jnp.float32)
+
+    @jax.jit
+    def solve_step(params, z0):
+        return newton_solve(make_residual_fn(cfg, params, key), z0, ncfg)
+
+    # warm the compile outside the timed region (a production sweep pays
+    # this once; the metric is s/step at steady state)
+    _ = solve_step(MapParams.create(13.0589, 0.1, dtype="float32"), Z)
+    jax.block_until_ready(_.solution)
+
+    n_steps = 100
+    t0 = time.perf_counter()
+    beta = 13.0589
+    z = Z
+    n_conv = 0
+    unstable = []
+    for _i in range(n_steps):
+        params = MapParams.create(beta, 0.1, dtype="float32")
+        res = solve_step(params, z)
+        ok = bool(res.converged) and bool(jnp.all(jnp.isfinite(res.solution)))
+        ev = compute_eigenvalues(None, res.solution,
+                                 ProblemType.EQUATION_FREE,
+                                 jacobian=np.asarray(res.jacobian))
+        unstable.append(int(count_unstable(ev, ProblemType.EQUATION_FREE)))
+        if ok:
+            z = res.solution   # warm-start the next step, as Driver.cu does
+            n_conv += 1
+        beta += 0.1
+    t = time.perf_counter() - t0
+    return t / n_steps, n_conv, unstable
+
+
 def main():
     extras = {}
     # The fully-f64 on-chip Newton stage needs x64 enabled before any trace;
@@ -515,6 +574,16 @@ def main():
         extras["bilinear2d_f64_pallas_maxerr"] = err64p
     except Exception as e:
         extras["bilinear2d_f64_error"] = str(e)[:200]
+
+    try:
+        _stage("sweep_100pt")
+        s_step, n_conv, unstable = bench_sweep_100pt()
+        extras["sweep_100pt_s_per_step"] = round(s_step, 3)
+        extras["sweep_100pt_converged"] = n_conv
+        extras["sweep_100pt_unstable_first_last"] = [unstable[0],
+                                                     unstable[-1]]
+    except Exception as e:
+        extras["sweep_error"] = str(e)[:200]
 
     try:
         _stage("newton_1e8")
