@@ -5,9 +5,10 @@ implementations, which remain the correctness oracle).  Measured on one
 v5e chip against the XLA gather lowering (chained-iteration timing, see
 ``bench.py``):
 
-  * ``lerp1d``:   ~14 Gq/s vs 0.07 Gq/s XLA (1k nodes); ~0.17 Gq/s at 64k
-    nodes (rolled chunk sweep — cost linear in n/128, the in-vreg gather
-    unit's algorithmic floor)
+  * ``lerp1d``:   ~14 Gq/s vs 0.07 Gq/s XLA (1k nodes); at 64k nodes the
+    sort-for-locality path (``lerp1d_binned``) reaches ~0.7 Gq/s (4x the
+    round-2 rolled chunk sweep's 0.17 — batched value sort + dynamic-span
+    sweep; the remaining cost is ~sort-bound)
   * ``make_interp1d`` (non-uniform nodes): ~0.35 Gq/s, exact vs the XLA
     searchsorted semantics
   * ``bilinear_batched``: ~0.48 Gq/s vs 0.018 Gq/s XLA at 256x256 (full
@@ -80,6 +81,123 @@ def _pad_to(x: jax.Array, n: int, axis: int = 0) -> jax.Array:
 
 # --------------------------------------------------------------------- 1D
 
+def _lerp1d_sorted_kernel(n: int, nb: int, rows_g: int, tab_ref, tab1_ref,
+                          q_ref, lim_ref, out_ref):
+    """One grid step: the SAME group index across every sorted batch.
+
+    Each batch row is value-sorted, so group ``g`` of every batch covers
+    (roughly) the same quantile of the query distribution and therefore
+    nearly the same few table chunks.  Processing all ``nb`` batches' group
+    ``g`` together amortises the sweep's per-chunk fixed cost over
+    ``nb * rows_g`` rows while the dynamic ``[c_lo, c_hi]`` span stays as
+    narrow as one batch's (plus cross-batch quantile jitter, ~2 chunks at
+    the bench shape).  Skewed query distributions widen the span — in the
+    worst case to the plain full sweep's cost — but results stay exact.
+    """
+    R = nb * rows_g
+    q = q_ref[:].reshape(R, _LANE)   # block layout (nb, rows_g * 128)
+    x0 = lim_ref[0]
+    inv_dx = lim_ref[1]
+    u = (q - x0) * inv_dx
+    i0 = jnp.clip(u.astype(jnp.int32), 0, n - 2)
+    t = jnp.clip(u - i0.astype(q.dtype), 0.0, 1.0)
+    chunk = jax.lax.shift_right_logical(i0, jnp.int32(7))
+    off = jax.lax.bitwise_and(i0, jnp.int32(_LANE - 1))
+    c_lo = jnp.min(chunk)
+    c_hi = jnp.max(chunk)
+
+    def sweep(c, carry):
+        f0, f1 = carry
+        m = chunk == c
+        g0 = jnp.take_along_axis(
+            jnp.broadcast_to(tab_ref[pl.ds(c, 1), :], (R, _LANE)), off,
+            axis=1)
+        g1 = jnp.take_along_axis(
+            jnp.broadcast_to(tab1_ref[pl.ds(c, 1), :], (R, _LANE)), off,
+            axis=1)
+        return jnp.where(m, g0, f0), jnp.where(m, g1, f1)
+
+    f0 = jnp.zeros_like(q)
+    f1 = jnp.zeros_like(q)
+    f0, f1 = jax.lax.fori_loop(c_lo, c_hi + 1, sweep, (f0, f1))
+    out_ref[:] = (f0 + t * (f1 - f0)).reshape(nb, rows_g * _LANE)
+
+
+@functools.partial(jax.jit, static_argnames=("n_batches", "rows_g"))
+def lerp1d_binned(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
+                  *, n_batches: int = 512, rows_g: int = 1) -> jax.Array:
+    """Large-table 1D lerp: sort-for-locality + dynamic-span chunk sweep.
+
+    The plain :func:`lerp1d` sweeps every ``n/128`` table chunk for every
+    query block — cost linear in table size (0.17 Gq/s at 64k nodes,
+    BENCH_r02).  Here queries are first sorted BY VALUE (sorted order =
+    table order), so each group of sorted queries touches only its own few
+    chunks and the sweep cost per query is ~flat in table size; a second
+    sort restores query order.  Both sorts are *batched* into
+    ``n_batches`` independent slices — a batched bitonic sort is far
+    cheaper than a flat one (fewer merge levels + row parallelism;
+    measured ~4-9x at 2M on v5e) — and fine batching is free here because
+    (a) the kernel processes the same group index across all batches in
+    one grid step (see :func:`_lerp1d_sorted_kernel`), so batching does
+    not multiply sweep iterations, and (b) each forward batch is a
+    contiguous range of original query indices, so the restore sort
+    batches identically with no cross-batch movement.
+
+    Exact for any query distribution (the 2D binned path's capacity-free
+    guarantee); skew only widens per-group spans, degrading smoothly
+    toward the plain sweep's throughput.
+    """
+    n = fp.shape[0]
+    shape = xq.shape
+    q = xq.reshape(-1).astype(jnp.float32)
+    Q = q.shape[0]
+    group = rows_g * _LANE
+    Qb = -(-Q // (n_batches * group)) * group
+    total = n_batches * Qb
+    # pads sort to the end of the last batch (+inf) and carry a sentinel
+    # restore index (Q) that the final slice drops
+    qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
+    qp = qp.at[:Q].set(q)
+    iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
+        jnp.arange(Q, dtype=jnp.int32))
+    q_s, iq_s = jax.lax.sort((qp.reshape(n_batches, Qb),
+                              iq.reshape(n_batches, Qb)),
+                             dimension=1, num_keys=1)
+
+    n_pad = max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
+    n_chunks = n_pad // _LANE
+    fp32 = fp.astype(jnp.float32)
+    tab = _pad_to(fp32, n_pad).reshape(n_chunks, _LANE)
+    tab1 = _pad_to(fp32[1:], n_pad).reshape(n_chunks, _LANE)
+    lims = jnp.array([x0, 1.0 / dx], jnp.float32)
+
+    # the (nb, Qb) sorted array is blocked along COLUMNS (each block =
+    # one group of sorted columns across every batch), so no transpose or
+    # reshape is needed outside the kernel and the block's minor-2 dim is
+    # the full batch count (satisfying the Mosaic block-shape rule)
+    cols_g = rows_g * _LANE
+    val = _x64_safe_call(lambda: pl.pallas_call(
+        functools.partial(_lerp1d_sorted_kernel, n, n_batches, rows_g),
+        out_shape=jax.ShapeDtypeStruct((n_batches, Qb), jnp.float32),
+        grid=(Qb // cols_g,),
+        in_specs=[
+            pl.BlockSpec((n_chunks, _LANE), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunks, _LANE), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_batches, cols_g), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_batches, cols_g), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+    )(tab, tab1, q_s, lims))
+
+    # restore: batched sort by original index (contiguous per batch)
+    _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1)
+    return out.reshape(total)[:Q].reshape(shape)
+
+
 def _lerp1d_kernel(n: int, n_chunks: int, rows: int,
                    tab_ref, tab1_ref, q_ref, lim_ref, out_ref):
     """One grid step: (rows, 128) queries against the chunked table.
@@ -127,9 +245,16 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     Semantics match :func:`..ops.interp.lerp_uniform` /(``numpy.interp`` on a
     uniform grid).  ``fp`` must have at most ``MAX_TABLE`` nodes; queries of
     any shape (flattened internally, padded to a whole number of blocks).
+
+    Large tables with enough queries route to :func:`lerp1d_binned` (the
+    chunk sweep is linear in table size; the sort-for-locality path is
+    ~flat — crossover measured around 8k nodes at >= 128k queries).
     """
     if fp.shape[0] > MAX_TABLE:
         raise ValueError(f"table too large for VMEM kernel: {fp.shape[0]}")
+    if fp.shape[0] > 8192 and xq.size >= 131072:
+        nb = min(512, xq.size // 1024)
+        return lerp1d_binned(xq, fp, x0, dx, n_batches=nb, rows_g=1)
     shape = xq.shape
     q = xq.reshape(-1).astype(jnp.float32)
     n = fp.shape[0]

@@ -97,7 +97,12 @@ def bench_lerp1d():
 
 
 def bench_lerp1d_64k():
-    """Large-table 1D lerp: 64k-node table, 2M queries (rolled chunk sweep)."""
+    """Large-table 1D lerp: 64k-node table, 2M queries.
+
+    Routes to the sort-for-locality path (``lerp1d_binned``): batched value
+    sort -> dynamic-span chunk sweep -> batched restore sort (VERDICT r2
+    item #4; the round-2 rolled chunk sweep measured 0.172 Gq/s here).
+    """
     from armadillocudalinearinterpolation_tpu.ops import interp, interp_pallas
 
     n = 65536

@@ -208,3 +208,21 @@ def test_bilinear_f64_rejects_oversized_grid():
         interp_pallas.bilinear_batched_f64(
             jnp.zeros((1, 4, 2), jnp.float64),
             jnp.zeros((1, 512, 256), jnp.float64))
+
+
+def test_lerp1d_binned_matches_reference():
+    """Sort-for-locality large-table path: exact vs the XLA reference,
+    including out-of-range queries, odd sizes, and a skewed distribution
+    (skew widens per-group spans but must not change results)."""
+    n = 16384
+    fp = jnp.cos(jnp.linspace(0, 20, n, dtype=jnp.float32))
+    dx = 20.0 / (n - 1)
+    key = jax.random.PRNGKey(13)
+    uni = jax.random.uniform(key, (70000,), jnp.float32, -1.0, 21.0)
+    skew = jnp.concatenate([uni, jnp.full((3000,), 5.5, jnp.float32)])
+    for xq, nb in ((uni, 16), (skew, 8), (uni[:2048], 2)):
+        got = interp_pallas.lerp1d_binned(xq, fp, 0.0, dx, n_batches=nb)
+        want = interp.lerp_uniform(xq, fp, 0.0, dx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        assert got.shape == xq.shape
