@@ -27,6 +27,7 @@ from .model.restrict import restrict_positions, masked_ensemble_mean
 from .model.emap import (
     z_to_u,
     u_to_z,
+    differentiable_backend,
     event_driven_map,
     make_residual_fn,
     MapDiagnostics,
@@ -62,6 +63,7 @@ __all__ = [
     "masked_ensemble_mean",
     "z_to_u",
     "u_to_z",
+    "differentiable_backend",
     "event_driven_map",
     "make_residual_fn",
     "MapDiagnostics",

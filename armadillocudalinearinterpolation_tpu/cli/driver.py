@@ -53,11 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jacobian mode. central FD is O(eps^2); exact uses "
                         "forward-mode autodiff through the whole map "
                         "(implicit-function JVP at the event-time root; "
-                        "needs the XLA evolve backend)")
-    p.add_argument("--evolve-backend", choices=["auto", "xla", "pallas"],
+                        "needs a differentiable evolve backend — xla or "
+                        "replay)")
+    p.add_argument("--evolve-backend",
+                   choices=["auto", "xla", "pallas", "replay"],
                    default="auto",
                    help="event-loop backend (auto picks the Pallas kernel "
-                        "on TPU for fp32, lane-aligned grids)")
+                        "on TPU for fp32, lane-aligned grids; replay = f32 "
+                        "schedule pass + df64 replay: f64-grade accuracy at "
+                        "f32 speed, differentiable — the fast path for "
+                        "--dtype float64 / --fd-mode exact)")
     p.add_argument("--evolve-window", type=int, default=0,
                    help="Pallas evolve root-find window in lanes (multiple "
                         "of 128; 0 = all lanes). Certified exact per event; "
@@ -142,7 +147,8 @@ def main(argv=None) -> int:
 
 
 def _run(args) -> int:
-    from .. import (ModelConfig, MapParams, NewtonConfig, newton_solve,
+    from .. import (ModelConfig, MapParams, NewtonConfig,
+                    differentiable_backend, newton_solve,
                     make_residual_fn, event_driven_map, ProblemType,
                     compute_eigenvalues)
     from ..solvers.newton import live_log_supported, print_iteration_table
@@ -225,8 +231,10 @@ def _run(args) -> int:
         return run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start)
 
     # exact Jacobians differentiate through the map: the Pallas kernel
-    # defines no JVP, so exact mode pins the XLA evolve backend
-    solve_backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
+    # defines no JVP, so exact mode resolves to a differentiable backend
+    # (xla, or the df64 replay if requested)
+    solve_backend = (differentiable_backend(args.evolve_backend)
+                     if ncfg.fd_mode == "exact" else args.evolve_backend)
     solve = jax.jit(lambda p, k, z: newton_solve(
         make_residual_fn(cfg, p, k, evolve_backend=solve_backend),
         z, ncfg))
@@ -287,6 +295,7 @@ def run_fold(args, cfg, ncfg, key, Z, beta) -> int:
 
     from .. import MapParams, make_residual_fn
     from ..analysis.fold import null_direction, track_fold
+    from .. import differentiable_backend
 
     # initial null direction from the exact Jacobian at the near-fold guess
     F = make_residual_fn(cfg, MapParams.create(beta, args.sigma_values[0],
@@ -329,8 +338,10 @@ def run_boundary(args, cfg, ncfg, key, Z, beta) -> int:
     import os
 
     from ..analysis.boundary import track_existence_boundary
+    from .. import differentiable_backend
 
-    backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
+    backend = (differentiable_backend(args.evolve_backend)
+               if ncfg.fd_mode == "exact" else args.evolve_backend)
 
     acc = []
 
@@ -372,8 +383,10 @@ def run_enumerate(args, cfg, ncfg, key, Z, beta) -> int:
     import os
 
     from ..analysis.branches import enumerate_branches
+    from .. import differentiable_backend
 
-    backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
+    backend = (differentiable_backend(args.evolve_backend)
+               if ncfg.fd_mode == "exact" else args.evolve_backend)
     beta0, sigma = ((beta, args.sigma) if args.arc_param == "beta"
                     else (args.beta, args.sigma))
 
@@ -410,12 +423,14 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
     """Pseudo-arclength branch walk (``--arclength``)."""
     from ..analysis.continuation import continue_branch
     from ..utils.checkpoint import ContinuationStep
-    from .. import make_residual_fn, MapParams, ProblemType, compute_eigenvalues
+    from .. import (make_residual_fn, MapParams, ProblemType,
+                    compute_eigenvalues, differentiable_backend)
     from ..analysis.stability import count_unstable
 
-    # exact bordered Jacobians need the differentiable XLA evolve path;
-    # finite-difference modes may keep the Pallas backend
-    backend = "xla" if ncfg.fd_mode == "exact" else args.evolve_backend
+    # exact bordered Jacobians need a differentiable evolve path (xla or
+    # replay); finite-difference modes may keep the Pallas backend
+    backend = (differentiable_backend(args.evolve_backend)
+               if ncfg.fd_mode == "exact" else args.evolve_backend)
 
     # On resume, keep walking the same way: secant tangent of the last two
     # checkpointed points (a fresh +param tangent would walk backward after
