@@ -72,6 +72,16 @@ class ModelConfig:
     counter_max: int = 50
     max_events: int = 4096
     evolve_window: int = 0
+    # Per-realisation window anchors in the Pallas evolve kernel: rows keep
+    # their own standing roll (chunk-granular, re-anchored by enumerated
+    # uniform rolls + per-row selects), so realisations that de-synchronise
+    # under large heterogeneity (sigma >~ 0.5) each keep a tight window
+    # instead of sharing one block-wide anchor that must cover the whole
+    # spread (certificate-fallback storms).  Needs evolve_window >= 384
+    # (chunk granularity consumes 128 lanes of the front margin) and
+    # n_neurons <= 8192 (the enumerated re-anchor shifts unroll n/128
+    # cases into the kernel body).  Certified exact like the block mode.
+    evolve_window_per_row: bool = False
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -88,6 +98,15 @@ class ModelConfig:
                                    or not 0 < self.evolve_window < self.n_neurons):
             raise ValueError("evolve_window must be a multiple of 128 in "
                              f"(0, n_neurons); got {self.evolve_window}")
+        if self.evolve_window_per_row:
+            if not self.evolve_window or self.evolve_window < 384:
+                raise ValueError("evolve_window_per_row needs "
+                                 "evolve_window >= 384 (chunk-granular "
+                                 "anchors cost 128 lanes of front margin)")
+            if self.n_neurons > 8192:
+                raise ValueError("evolve_window_per_row unrolls n/128 "
+                                 "re-anchor shifts; n_neurons > 8192 would "
+                                 "blow up the kernel body")
         if self.n_neurons < 256:
             import warnings
             warnings.warn(

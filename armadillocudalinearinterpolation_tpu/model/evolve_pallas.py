@@ -90,10 +90,14 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
     else:
         out_ref, sched_ref = refs[4], None
         scratch = refs[5:]
+    per_row = cfg.evolve_window_per_row
     if 0 < cfg.evolve_window < cfg.n_neurons:
-        v_s, s_s, t_s, b_s = scratch
+        if per_row:
+            v_s, s_s, t_s, b_s, off_s = scratch
+        else:
+            (v_s, s_s, t_s, b_s), off_s = scratch, None
     else:
-        (v_s, s_s, t_s), b_s = scratch, None
+        (v_s, s_s, t_s), b_s, off_s = scratch, None, None
     N = cfg.n_neurons
     M = cfg.n_spikes
     T = jnp.float32(cfg.t_horizon)
@@ -105,11 +109,18 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
 
     W = int(cfg.evolve_window)
     use_window = 0 < W < N
-    PAD_B = min(64, W // 4) if use_window else 0
+    if per_row:
+        # chunk-granular per-row anchors eat up to 127 lanes of the front
+        # margin; budget a full chunk plus the usual margin, and trigger a
+        # re-anchor only once the roll would actually move (>= 1 chunk)
+        PAD_B = 192
+        TRIGGER = 160
+    else:
+        PAD_B = min(64, W // 4) if use_window else 0
     # Re-roll hysteresis: state stays rolled until the trailing spike has
     # advanced SLACK lanes past the anchor, shrinking the window's front
     # margin by at most SLACK lanes between re-rolls (certificate-guarded).
-    SLACK = PAD_B // 2
+    SLACK = (PAD_B // 2) if not per_row else 0
 
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
     out_ref[:] = jnp.broadcast_to(book0_ref[:], (R, _LANE))
@@ -133,6 +144,9 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         v_s[:] = jnp.broadcast_to(pltpu.roll(v0_ref[:], shift0, 1), (R, N))
         s_s[:] = jnp.broadcast_to(pltpu.roll(s0_ref[:], shift0, 1), (R, N))
         b_s[:] = pltpu.roll(beta_ref[:], shift0, 1)
+        if per_row:
+            # every row starts from the same init indices -> same anchor
+            off_s[:] = jnp.zeros((R, _LANE), jnp.int32) + off0
     else:
         off0 = jnp.int32(0)
         v_s[:] = jnp.broadcast_to(v0_ref[:], (R, N))
@@ -275,7 +289,39 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
 
     def loop_body(carry):
         _, off, k = carry
-        if use_window:
+        if use_window and per_row:
+            # Per-row re-anchor (cfg.evolve_window_per_row): each row keeps
+            # its own chunk-granular standing roll, so de-synchronised
+            # realisations (large sigma) don't share one anchor that must
+            # cover the whole block's spread.  The per-row roll is built
+            # from n/128 ENUMERATED uniform rolls + per-row selects (Mosaic
+            # has no per-row rotate); predicated, so between re-anchors it
+            # costs nothing.
+            book = out_ref[:]
+            lo_r = jnp.min(jnp.where(lane_o < M, book,
+                                     jnp.float32(jnp.inf)),
+                           axis=1, keepdims=True).astype(jnp.int32)  # (R,1)
+            off_col = off_s[:, 0:1]
+            p_r = jnp.mod(lo_r - PAD_B - off_col, N)                 # (R,1)
+            need = jnp.max(b2f(p_r > TRIGGER)) > 0.5
+
+            @pl.when(need)
+            def _reanchor_rows():
+                delta = jax.lax.shift_right_logical(p_r, 7)  # chunks (R,1)
+                vv, ss, bb = v_s[:], s_s[:], b_s[:]
+                v_acc, s_acc, b_acc = vv, ss, bb
+                for s_ch in range(1, N // _LANE):
+                    sh = N - s_ch * _LANE
+                    m = delta == s_ch
+                    v_acc = jnp.where(m, pltpu.roll(vv, sh, 1), v_acc)
+                    s_acc = jnp.where(m, pltpu.roll(ss, sh, 1), s_acc)
+                    b_acc = jnp.where(m, pltpu.roll(bb, sh, 1), b_acc)
+                v_s[:] = v_acc
+                s_s[:] = s_acc
+                b_s[:] = b_acc
+                off_s[:] = jnp.broadcast_to(
+                    jnp.mod(off_col + delta * _LANE, N), (R, _LANE))
+        elif use_window:
             # Re-anchor the standing roll only when the trailing spike has
             # moved SLACK lanes past it (every ~3*SLACK events at reference
             # scale) — pl.when predication makes off-events free.
@@ -344,7 +390,12 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         # last/crossed indices are recorded in ORIGINAL lane coordinates
         # (the restriction maps them to ring positions), so unroll j here
         book = out_ref[:]
-        j_orig = jnp.mod(j_col + off, N) if use_window else j_col
+        if use_window and per_row:
+            j_orig = jnp.mod(j_col + off_s[:, 0:1], N)
+        elif use_window:
+            j_orig = jnp.mod(j_col + off, N)
+        else:
+            j_orig = j_col
         jf = j_orig.astype(jnp.float32)                     # (R, 1)
         if record > 0:
             # dead rows write garbage past their own n_events — the replay
@@ -497,9 +548,12 @@ def _call_kernel(cfg, r_block, n_blocks, Rp, record, v0, s0, beta32, book0):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32)
-            for _ in range(4 if 0 < cfg.evolve_window < cfg.n_neurons else 3)
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32)
+             for _ in range(4 if 0 < cfg.evolve_window < cfg.n_neurons
+                            else 3)]
+            + ([pltpu.VMEM((r_block, _LANE), jnp.int32)]   # per-row anchors
+               if cfg.evolve_window_per_row else [])
+        ),
         interpret=_INTERPRET,
     )(v0, s0, beta32, book0)

@@ -106,3 +106,27 @@ def test_windowed_matches_full_kernel_on_tpu(z_ref):
     ff = event_driven_map(cfg_f, params, key, z, evolve_backend="pallas")
     fw = event_driven_map(cfg_w, params, key, z, evolve_backend="pallas")
     np.testing.assert_array_equal(np.asarray(ff), np.asarray(fw))
+
+
+def test_per_row_window_matches_full_interpret(interpreted, z_ref):
+    """Per-row chunk-granular anchors (cfg.evolve_window_per_row): the
+    certificate must keep results identical to the full kernel at both
+    small and LARGE sigma (de-synchronised realisations — the regime the
+    per-row anchors exist for)."""
+    key = jax.random.PRNGKey(0)
+    z = z_ref.astype(jnp.float32)
+    for sigma in (0.1, 1.2):
+        params = MapParams.create(13.0589, sigma, dtype="float32")
+        cfg_f = ModelConfig(n_neurons=512, n_real=4, dtype="float32")
+        cfg_p = ModelConfig(n_neurons=512, n_real=4, dtype="float32",
+                            evolve_window=384, evolve_window_per_row=True)
+        ff = event_driven_map(cfg_f, params, key, z, evolve_backend="pallas")
+        fp_ = event_driven_map(cfg_p, params, key, z,
+                               evolve_backend="pallas")
+        np.testing.assert_array_equal(np.asarray(ff), np.asarray(fp_))
+
+
+def test_per_row_window_config_validation():
+    with pytest.raises(ValueError, match="per_row"):
+        ModelConfig(n_neurons=512, n_real=2, evolve_window=128,
+                    evolve_window_per_row=True)
