@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, MapParams, NewtonConfig
-from ..model.emap import make_residual_fn
+from ..model.emap import differentiable_backend, make_residual_fn
 from ..solvers.newton import newton_solve
 
 
@@ -86,8 +86,9 @@ def solve_fold(cfg: ModelConfig, key: jax.Array, Z0, v0, beta0, sigma, *,
     # keeps every other field (divergence_factor in particular) intact.
     if ncfg.fd_mode == "exact":
         ncfg = dataclasses.replace(ncfg, fd_mode="central", fd_epsilon=1e-6)
-    backend = "xla"  # H contains a JVP: needs the differentiable path
-    del evolve_backend
+    # H contains Jv = one first-order JVP: any differentiable backend works
+    # (xla, or the df64 replay — its scan carries the event-time IFT rule)
+    backend = differentiable_backend(evolve_backend)
     H = make_fold_residual(cfg, key, evolve_backend=backend)
     sigma = jnp.asarray(sigma, dt_)
     w0 = jnp.concatenate([jnp.asarray(Z0, dt_), jnp.asarray(v0, dt_),
