@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "schedule pass + df64 replay: f64-grade accuracy at "
                         "f32 speed, differentiable — the fast path for "
                         "--dtype float64 / --fd-mode exact)")
+    p.add_argument("--max-events", type=int, default=None,
+                   help="event-log/scan length bound (ModelConfig.max_events"
+                        "; sizes the replay backend's fixed-length scan — "
+                        "set to ~1.5x the expected event count, e.g. 1024 "
+                        "at 512 neurons, 4096 at 4096)")
     p.add_argument("--evolve-window", type=int, default=0,
                    help="Pallas evolve root-find window in lanes (multiple "
                         "of 128; 0 = all lanes). Certified exact per event; "
@@ -158,7 +163,9 @@ def _run(args) -> int:
 
     cfg = ModelConfig(n_neurons=args.neurons, n_real=args.realisations,
                       n_spikes=args.spikes, t_horizon=args.horizon,
-                      evolve_window=args.evolve_window, dtype=args.dtype)
+                      evolve_window=args.evolve_window, dtype=args.dtype,
+                      **({"max_events": args.max_events}
+                         if args.max_events else {}))
     ncfg = NewtonConfig(tolerance=args.tol, max_iterations=args.max_iter,
                         fd_epsilon=args.fd_eps, damping=args.damping,
                         print_output=not args.quiet, fd_mode=args.fd_mode)

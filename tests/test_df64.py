@@ -80,3 +80,26 @@ def test_mul_f32_and_scale_pow2():
     assert _relerr(got, 3.0 * x) < 1e-13
     got2 = jax.jit(lambda a: D.to_f64(D.scale_pow2(a, jnp.int32(-4))))(xd)
     assert _relerr(got2, x / 16.0) < 1e-15
+
+
+def test_exp_underflow_and_range():
+    """Decay exponentials can underflow f32: exp must flush to 0 cleanly
+    (the map compares against O(1) scales) and stay finite everywhere.
+    Below ~1e-31 the pair's low word goes subnormal and precision degrades
+    gracefully to single-word f32 — acceptable, since such magnitudes are
+    zero at every scale the map compares against."""
+    x = jnp.asarray([-200.0, -87.0, -80.0, -60.0, 0.0, 80.0])
+    e = np.asarray(jax.jit(lambda a: D.to_f64(D.exp(D.from_f64(a))))(x))
+    ref = np.exp(np.asarray(x))
+    assert e[0] == 0.0
+    assert np.all(np.isfinite(e))
+    np.testing.assert_allclose(e[1:4], ref[1:4], rtol=1e-6)   # lo subnormal
+    np.testing.assert_allclose(e[3:], ref[3:], rtol=1e-12)
+
+
+def test_where_and_neg():
+    a = D.from_f64(jnp.asarray([1.0, 2.0]))
+    b = D.from_f64(jnp.asarray([3.0, 4.0]))
+    w = D.where(jnp.asarray([True, False]), a, b)
+    np.testing.assert_allclose(np.asarray(D.to_f64(w)), [1.0, 4.0])
+    np.testing.assert_allclose(np.asarray(D.to_f64(D.neg(a))), [-1.0, -2.0])

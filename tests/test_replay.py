@@ -158,3 +158,16 @@ def test_pallas_schedule_source_interpret(cfg, pieces):
     rep = replay.replay_events(cfg, sched_p.astype(jnp.int32),
                                res_p.n_events, v0, s0, beta, init_ind)
     assert bool(jnp.all(rep.accept))
+
+
+def test_replay_large_sigma_consistency(cfg):
+    """At sigma = 1.0 (strong heterogeneity, some rejected realisations)
+    the replay must still agree with the f64 oracle on accepted rows and
+    never produce NaN."""
+    params = alt.MapParams.create(13.0589, 1.0, dtype="float64")
+    f_ref = event_driven_map(cfg, params, KEY, Z64, evolve_backend="xla")
+    f_rep = event_driven_map(cfg, params, KEY, Z64, evolve_backend="replay")
+    assert bool(jnp.all(jnp.isfinite(f_rep)))
+    # grazing-event schedule flips (f32 pass vs f64) bound the agreement:
+    # the commutator scale at N=512, far above df64 arithmetic error
+    assert float(jnp.max(jnp.abs(f_ref - f_rep))) < 1e-5
