@@ -26,6 +26,16 @@ value of the second parameter: warm-start an interior solve, then
 (its corrector guard also rejects tunnels onto the coexisting fast
 family); the last accepted point is the boundary point at that sigma.
 
+Backend note: use the **XLA f64 evolve backend** for boundary work.  The
+df64 replay backend is numerically f64-grade in the interior, but a
+grazing end is exactly where the event COUNT changes — and the replay
+imposes the f32 pass's firing schedule, which *regularises* the grazing
+transition (near-tangent crossings get resolved the f32 way and replayed
+consistently), letting the corrector walk past the true existence end
+(observed: a tol-2e-6 replay walk continued to beta ~ 16.55 where the f64
+map's family ends at 16.0144).  Its schedule-flip noise floor at coarse N
+(~3e-7 at N=512) also sits above the tolerances this module needs.
+
 The reference has no two-parameter capability at all (its one-parameter
 sweep is commented out, ``/root/reference/Driver.cu:86-114``).
 """
@@ -192,6 +202,12 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
         # (round-2 advisor finding: the library surface must pin this
         # itself, not rely on the CLI's guard)
         evolve_backend = differentiable_backend(evolve_backend)
+    if evolve_backend == "replay":
+        # the replay regularises grazing transitions and its coarse-N noise
+        # floor exceeds boundary tolerances (see module docstring) — this
+        # module's entire purpose is resolving grazing ends, so pin the
+        # f64-exact path regardless of the caller's preference
+        evolve_backend = "xla"
     sgn = 1.0 if direction >= 0 else -1.0
     probe = _make_prober(cfg, key, ncfg, evolve_backend, family_guard)
 
