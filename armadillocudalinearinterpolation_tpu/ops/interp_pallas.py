@@ -303,7 +303,7 @@ def _interp1d_kernel(n: int, m: int, n_chunks: int, m_chunks: int, S: int,
     ``packed`` holds 4 gather targets interleaved by sublane —
     ``xp[lo], xp[lo+1], fp[lo], fp[lo+1]`` resolve in ONE chunk sweep.
     """
-    q = q_ref[:]
+    q = q_ref[:].reshape(rows, _LANE)   # any block layout of rows*128 queries
     e0 = lim_ref[0]
     inv_du = lim_ref[1]
     xlo = lim_ref[2]
@@ -313,10 +313,17 @@ def _interp1d_kernel(n: int, m: int, n_chunks: int, m_chunks: int, S: int,
     k = jnp.clip(((qc - e0) * inv_du).astype(jnp.int32), 0, m - 1)
 
     def gather_chunked(ref, idx, chunks, scale=1, base=0):
-        """Gather ref.reshape(-1)[scale*chunkrow + lane] at flat ``idx``."""
+        """Gather ref.reshape(-1)[scale*chunkrow + lane] at flat ``idx``.
+
+        The sweep runs over the dynamic ``[min, max]`` chunk range of THIS
+        call's indices: for arbitrary queries that is the whole table, but
+        value-sorted query blocks (the sorted path below) span only a few
+        chunks, making the per-query cost ~flat in table size — same
+        locality idea as :func:`_lerp1d_sorted_kernel`.
+        """
         chunk = jax.lax.shift_right_logical(idx, jnp.int32(7))
         off = jax.lax.bitwise_and(idx, jnp.int32(_LANE - 1))
-        acc = jnp.zeros_like(q)
+        acc = jnp.zeros_like(qc)
 
         def body(c, acc):
             g = jnp.take_along_axis(
@@ -324,11 +331,12 @@ def _interp1d_kernel(n: int, m: int, n_chunks: int, m_chunks: int, S: int,
                                  (rows, _LANE)), off, axis=1)
             return jnp.where(chunk == c, g, acc)
 
-        if chunks <= _UNROLL_CHUNKS:
+        if chunks <= 8:
             for c in range(chunks):
                 acc = body(c, acc)
         else:
-            acc = jax.lax.fori_loop(0, chunks, body, acc)
+            acc = jax.lax.fori_loop(jnp.min(chunk), jnp.max(chunk) + 1,
+                                    body, acc)
         return acc
 
     lo_f = gather_chunked(bucket_ref, k, m_chunks)
@@ -353,7 +361,7 @@ def _interp1d_kernel(n: int, m: int, n_chunks: int, m_chunks: int, S: int,
     f0 = gather_chunked(packed_ref, lo, n_chunks, scale=4, base=2)
     f1 = gather_chunked(packed_ref, lo, n_chunks, scale=4, base=3)
     t = jnp.clip((qc - x0) / (x1 - x0), 0.0, 1.0)
-    out_ref[:] = f0 + t * (f1 - f0)
+    out_ref[:] = (f0 + t * (f1 - f0)).reshape(out_ref.shape)
 
 
 def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
@@ -419,12 +427,52 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
     lims = jnp.array([edges[0], m / (xp_h[-1] - xp_h[0]),
                       xp_h[0], xp_h[-1]], f32)
 
+    NB = 256   # sort batches for the large-Q sorted path (block minor-2 dim)
+
+    def _interp_sorted(q: jax.Array) -> jax.Array:
+        """Value-sorted query path: the same kernel, but every chunk sweep
+        collapses to the block's own narrow dynamic range (see
+        :func:`lerp1d_binned` for the batched-sort reasoning; each grid
+        step here is one sorted 128-column group across all NB batches)."""
+        Q = q.shape[0]
+        Qb = -(-Q // (NB * _LANE)) * _LANE
+        total = NB * Qb
+        qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
+        qp = qp.at[:Q].set(q)
+        iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
+            jnp.arange(Q, dtype=jnp.int32))
+        q_s, iq_s = jax.lax.sort((qp.reshape(NB, Qb), iq.reshape(NB, Qb)),
+                                 dimension=1, num_keys=1)
+        val = _x64_safe_call(lambda: pl.pallas_call(
+            functools.partial(_interp1d_kernel, n, m, n_chunks, m_chunks, S,
+                              NB),
+            out_shape=jax.ShapeDtypeStruct((NB, Qb), f32),
+            grid=(Qb // _LANE,),
+            in_specs=[
+                pl.BlockSpec((n_chunks, _LANE), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * n_chunks, _LANE), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_chunks, _LANE), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, _LANE), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((NB, _LANE), lambda g: (0, g),
+                                   memory_space=pltpu.VMEM),
+        )(xp1_tab, packed, bucket_tab, q_s, lims))
+        _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1)
+        return out.reshape(total)[:Q]
+
     @jax.jit
     def interp(xq: jax.Array) -> jax.Array:
         shape = xq.shape
         q = xq.reshape(-1).astype(f32)
         block = rows * _LANE
         Q = q.shape[0]
+        if Q >= 262144 and n_chunks > 8:
+            return _interp_sorted(q).reshape(shape).astype(xq.dtype)
         nsteps = max(1, (Q + block - 1) // block)
         qp = _pad_to(q, nsteps * block).reshape(nsteps * rows, _LANE)
         out = _x64_safe_call(lambda: pl.pallas_call(

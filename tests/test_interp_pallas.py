@@ -226,3 +226,21 @@ def test_lerp1d_binned_matches_reference():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
         assert got.shape == xq.shape
+
+
+def test_interp1d_nonuniform_sorted_path():
+    """Queries above the sorted-path threshold (262144) route through the
+    batched-sort + dynamic-span kernel; must stay exact vs the XLA
+    reference, including out-of-range queries and the padded tail."""
+    key = jax.random.PRNGKey(14)
+    n = 2048
+    gaps = 0.05 + jax.random.uniform(key, (n - 1,), jnp.float32)
+    xp = jnp.concatenate([jnp.zeros(1), jnp.cumsum(gaps)])
+    fp = jnp.sin(0.07 * xp)
+    f = interp_pallas.make_interp1d(xp, fp)
+    xq = jax.random.uniform(jax.random.PRNGKey(15), (262150,), jnp.float32,
+                            -1.0, float(xp[-1]) + 1.0)
+    got = f(xq)
+    want = interp.interp1d(xq, xp, fp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    assert got.shape == xq.shape
