@@ -154,12 +154,17 @@ def lerp1d_binned(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     group = rows_g * _LANE
     Qb = -(-Q // (n_batches * group)) * group
     total = n_batches * Qb
-    # pads sort to the end of the last batch (+inf) and carry a sentinel
-    # restore index (Q) that the final slice drops
-    qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
-    qp = qp.at[:Q].set(q)
-    iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
-        jnp.arange(Q, dtype=jnp.int32))
+    if total == Q:
+        # exact fit (the common bench/restrict shapes): no pad materialise
+        qp = q
+        iq = jnp.arange(Q, dtype=jnp.int32)
+    else:
+        # pads sort to the end of the last batch (+inf) and carry a sentinel
+        # restore index (Q) that the final slice drops
+        qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
+        qp = qp.at[:Q].set(q)
+        iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
+            jnp.arange(Q, dtype=jnp.int32))
     q_s, iq_s = jax.lax.sort((qp.reshape(n_batches, Qb),
                               iq.reshape(n_batches, Qb)),
                              dimension=1, num_keys=1)
@@ -253,7 +258,15 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     if fp.shape[0] > MAX_TABLE:
         raise ValueError(f"table too large for VMEM kernel: {fp.shape[0]}")
     if fp.shape[0] > 8192 and xq.size >= 131072:
-        nb = min(512, xq.size // 1024)
+        # Batch size trade (uniform queries, 2M x 64k measured): finer
+        # batches cut bitonic stages but widen the kernel's per-group span
+        # via cross-batch quantile jitter; Qb ~ 2048-4096 is the joint
+        # optimum (2.8-3.0 ms; Qb=1024 is 3.5 ms).  nb MUST be a power of
+        # two — XLA's row bitonic pads non-pow2 rows (nb=640..896 measured
+        # 4x slower).  NOTE: measure distribution-controlled; feeding an
+        # interpolant back as queries concentrates them and flatters the
+        # sweep (see bench_lerp1d_64k).
+        nb = min(1024, 1 << max(0, (xq.size // 2048).bit_length() - 1))
         return lerp1d_binned(xq, fp, x0, dx, n_batches=nb, rows_g=1)
     shape = xq.shape
     q = xq.reshape(-1).astype(jnp.float32)

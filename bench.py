@@ -118,8 +118,16 @@ def bench_lerp1d_64k():
     def make(K):
         @jax.jit
         def run():
+            # keep every chained iteration UNIFORM over the table: feeding
+            # the interpolant back as the next queries (`val * 2.9`) makes
+            # iterations >= 1 arcsine-distributed (bimodal at +-2.9), and
+            # the column group straddling the gap then sweeps the whole
+            # table — measured 2x below the uniform-query number this
+            # metric is defined as.  An ulp-scale data-dependent shift of
+            # q0 keeps the distribution while defeating CSE.
             def body(_, q):
-                return interp_pallas.lerp1d(q, fp, -3.0, dx) * 2.9
+                val = interp_pallas.lerp1d(q, fp, -3.0, dx)
+                return q0 + 1e-6 * val
             return jnp.sum(jax.lax.fori_loop(0, K, body, q0))
         return run
 
