@@ -228,6 +228,33 @@ def test_lerp1d_binned_matches_reference():
         assert got.shape == xq.shape
 
 
+def test_lerp1d_binned_exact_fit_no_pad():
+    """Q dividing n_batches*group exactly takes the no-pad fast path (the
+    bench/restrict shapes); results identical to the padded route."""
+    n = 16384
+    fp = jnp.cos(jnp.linspace(0, 20, n, dtype=jnp.float32))
+    dx = 20.0 / (n - 1)
+    xq = jax.random.uniform(jax.random.PRNGKey(17), (16 * 128 * 4,),
+                            jnp.float32, -1.0, 21.0)
+    got = interp_pallas.lerp1d_binned(xq, fp, 0.0, dx, n_batches=16)
+    want = interp.lerp_uniform(xq, fp, 0.0, dx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_lerp1d_routing_large_table_pow2_batches():
+    """lerp1d routes 64k-node tables to the binned path with a power-of-two
+    batch count (non-pow2 rows are 4x slower through XLA's bitonic sort);
+    exactness through the public entry at a routed shape."""
+    n = 65536
+    fp = jnp.sin(jnp.linspace(-3, 3, n, dtype=jnp.float32))
+    dx = 6.0 / (n - 1)
+    xq = jax.random.uniform(jax.random.PRNGKey(19), (200_000,), jnp.float32,
+                            -3.2, 3.2)
+    got = interp_pallas.lerp1d(xq, fp, -3.0, dx)
+    want = interp.lerp_uniform(xq, fp, -3.0, dx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_interp1d_nonuniform_sorted_path():
     """Queries above the sorted-path threshold (262144) route through the
     batched-sort + dynamic-span kernel; must stay exact vs the XLA
