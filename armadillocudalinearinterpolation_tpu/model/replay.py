@@ -175,8 +175,7 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         consistent=n_sched <= E,
     )
 
-    def body(c: _DFCarry, xs):
-        e_idx, j = xs                                     # (), (R,)
+    def body(c: _DFCarry, e_idx, j):
         live = e_idx < n_sched                            # (R,)
         v = D.DF(c.v_hi, c.v_lo)
         s = D.DF(c.s_hi, c.s_lo)
@@ -251,10 +250,28 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
             crossed_lo=jnp.where(is_cross, tc_lo, c.crossed_lo),
             crossed=c.crossed | is_cross,
             consistent=c.consistent & ~(misfire & live),
-        ), None
+        )
 
-    xs = (jnp.arange(E, dtype=jnp.int32), schedule.T)
-    out, _ = jax.lax.scan(body, init, xs)
+    # Bounded while-loop instead of a fixed-length scan: every step past
+    # max(n_sched) is fully live-masked (bitwise no-op), so stopping there
+    # is exact — and the schedule buffer is sized for the worst case
+    # (cfg.max_events) while typical trajectories fill ~80-85% of it.
+    # lax.while_loop is forward-mode differentiable, which is all the
+    # replay needs (jacfwd exact Jacobians); vmapped callers batch the
+    # bound to the batch max automatically.
+    sched_t = schedule.T                                  # (E, R): row slice
+    n_live = jnp.minimum(jnp.max(n_sched), E).astype(jnp.int32)
+
+    def w_cond(state):
+        e, _ = state
+        return e < n_live
+
+    def w_body(state):
+        e, c = state
+        j = jax.lax.dynamic_index_in_dim(sched_t, e, axis=0, keepdims=False)
+        return e + jnp.int32(1), body(c, e, j)
+
+    _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), init))
 
     def times(hi, lo):
         if f64:
