@@ -99,6 +99,23 @@ def test_schedule_overflow_rejects_rows(cfg, pieces):
     assert bool(jnp.all(rep.accept[1:] == res64.accept[1:]))
 
 
+def test_replay_invariant_to_schedule_padding(cfg, pieces):
+    """The bounded while-loop stops at max(n_sched): steps past a row's
+    event count are fully live-masked, so growing the schedule buffer
+    (extra dead tail) must not change a single bit of the result."""
+    _, beta, init_ind, v0, s0 = pieces
+    res64, sched = evolve_ensemble_batched(cfg, None, v0, s0, beta, init_ind,
+                                           record_schedule=cfg.max_events)
+    rep = replay.replay_events(cfg, sched, res64.n_events, v0, s0, beta,
+                               init_ind)
+    pad = jnp.zeros((sched.shape[0], 256), jnp.int32)
+    cfg_wide = cfg.with_(max_events=cfg.max_events + 256)
+    rep_wide = replay.replay_events(cfg_wide, jnp.concatenate([sched, pad], 1),
+                                    res64.n_events, v0, s0, beta, init_ind)
+    for a, b in zip(jax.tree.leaves(rep), jax.tree.leaves(rep_wide)):
+        assert bool(jnp.all(a == b))
+
+
 def test_jacfwd_through_replay_matches_fd(cfg):
     """VERDICT r2 #2 done-criterion: jacfwd-vs-FD agreement.
 
