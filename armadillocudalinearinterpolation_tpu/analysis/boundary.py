@@ -51,7 +51,7 @@ import numpy as np
 from ..config import ModelConfig, MapParams, NewtonConfig
 from ..model.emap import differentiable_backend, make_residual_fn
 from ..solvers.newton import newton_solve
-from .continuation import continue_branch, make_extended_residual
+from .continuation import continue_branch, make_extended_residual_held
 
 
 class BoundaryPoint(NamedTuple):
@@ -92,31 +92,43 @@ def _make_prober(cfg: ModelConfig, key: jax.Array, ncfg: NewtonConfig,
     return prober
 
 
-def _verify_bracket(cfg: ModelConfig, key: jax.Array, ncfg: NewtonConfig,
-                    evolve_backend: str, family_guard: float, sigma: float,
+def _make_bracket_step(cfg: ModelConfig, key: jax.Array, ncfg: NewtonConfig,
+                       evolve_backend: str):
+    """One jitted beta-pinned corrector step, shared across every sigma.
+
+    The held sigma and the signed arc offset are call-time arguments
+    (:func:`make_extended_residual_held`), so the whole sigma schedule
+    re-uses a single compiled probe instead of re-tracing the f64
+    extended system per point.  The beta-axis pin itself is UNsigned —
+    the arc constraint is ``dot(y - y_prev, pin) - ds``, so the probe
+    direction lives in ``ds`` alone.  (Signing both cancelled:
+    ``sgn*(beta-beta*) = sgn*tol`` pins beta at ``beta* + tol`` for
+    EITHER direction, probing the interior side of a lower boundary.)
+    """
+    dt_ = cfg.jdtype
+    Gh = make_extended_residual_held(cfg, key, param="beta",
+                                     evolve_backend=evolve_backend)
+    pin = jnp.zeros((cfg.n_spikes + 1,), dt_).at[-1].set(1.0)
+    return jax.jit(lambda y_prev, y0, sigma_v, ds: newton_solve(
+        lambda yy: Gh(yy, y_prev, pin, ds, sigma_v), y0, ncfg))
+
+
+def _verify_bracket(step_jit, dt_, family_guard: float, sigma: float,
                     sgn: float, bisect_tol: float, beta_star: float,
                     Z_star: np.ndarray, rnorm: float,
                     t_end: Optional[np.ndarray], *, max_probes: int = 8):
     """Measure the failure side of the boundary bracket at one sigma.
 
-    Runs beta-pinned corrector probes at ``beta_star + sgn * bisect_tol``:
-    the arc constraint uses the beta-axis tangent, so the probe's beta is
-    pinned *exactly* at the claimed failure value while Z stays free (the
-    corrector formulation the walk itself trusts near the boundary — plain
-    fixed-beta Newton under-reports by ~0.04, see module docstring).  Each
-    probe that converges on-family moves the boundary out and is re-probed;
-    the returned bracket has a measured failure at ``beta_fail`` unless the
+    Runs beta-pinned corrector probes at ``beta_star + sgn * bisect_tol``
+    (``step_jit`` from :func:`_make_bracket_step`): the arc constraint uses
+    the beta-axis tangent, so the probe's beta is pinned *exactly* at the
+    claimed failure value while Z stays free (the corrector formulation the
+    walk itself trusts near the boundary — plain fixed-beta Newton
+    under-reports by ~0.04, see module docstring).  Each probe that
+    converges on-family moves the boundary out and is re-probed; the
+    returned bracket has a measured failure at ``beta_fail`` unless the
     probe budget ran out (``verified = False``).
     """
-    dt_ = cfg.jdtype
-    n = cfg.n_spikes
-    G = jax.jit(make_extended_residual(cfg, key, sigma, param="beta",
-                                       evolve_backend=evolve_backend))
-    pin = jnp.zeros((n + 1,), dt_).at[-1].set(sgn)     # beta-axis tangent
-    step_jit = jax.jit(lambda y_prev, y0: newton_solve(
-        lambda yy: G(yy, y_prev, pin, jnp.asarray(sgn * bisect_tol, dt_)),
-        y0, ncfg))
-
     verified = False
     for _ in range(max_probes):
         y_star = jnp.concatenate([jnp.asarray(Z_star, dt_),
@@ -129,7 +141,8 @@ def _verify_bracket(cfg: ModelConfig, key: jax.Array, ncfg: NewtonConfig,
             y0 = y0.at[-1].set(beta_star + sgn * bisect_tol)
         else:
             y0 = y_star.at[-1].add(sgn * bisect_tol)
-        res = step_jit(y_star, y0)
+        res = step_jit(y_star, y0, jnp.asarray(sigma, dt_),
+                       jnp.asarray(sgn * bisect_tol, dt_))
         sol = np.asarray(res.solution)
         ok = (bool(res.converged) and bool(np.all(np.isfinite(sol)))
               and abs(float(sol[0]) - float(Z_star[0])) < family_guard)
@@ -210,6 +223,7 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
         evolve_backend = "xla"
     sgn = 1.0 if direction >= 0 else -1.0
     probe = _make_prober(cfg, key, ncfg, evolve_backend, family_guard)
+    bracket_step = _make_bracket_step(cfg, key, ncfg, evolve_backend)
 
     Z_in = np.asarray(Z0, dtype=float)
     beta_in = float(beta0)
@@ -260,7 +274,7 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
         # probe converges the boundary extends and we probe again, so the
         # reported (beta_star, beta_fail) is a measured bracket.
         beta_star, Z_star, rnorm, beta_fail, verified = _verify_bracket(
-            cfg, key, ncfg, evolve_backend, family_guard, sigma, sgn,
+            bracket_step, cfg.jdtype, family_guard, sigma, sgn,
             bisect_tol, beta_star, Z_star, rnorm, t_end)
 
         pt = BoundaryPoint(sigma=sigma, beta_star=beta_star,

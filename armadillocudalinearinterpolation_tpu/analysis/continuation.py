@@ -39,6 +39,38 @@ class ArcStep(NamedTuple):
     residual_norm: jax.Array
 
 
+def make_extended_residual_held(cfg: ModelConfig, key: jax.Array,
+                                *, param: str = "beta",
+                                evolve_backend: str = "auto"):
+    """Like :func:`make_extended_residual`, but the held parameter is a
+    *call-time* (traced) argument: ``G(y, y_prev, tangent, ds, fixed)``.
+
+    One jitted consumer then serves every held value without re-tracing —
+    the boundary tracker's bracket probes re-use a single compiled step
+    across its whole sigma schedule (each f64 extended-system trace is
+    seconds-class, and the per-sigma re-jit measurably doubled per-point
+    overhead).
+    """
+    if param not in ("beta", "sigma"):
+        raise ValueError(f"param must be 'beta' or 'sigma', got {param!r}")
+    dt_ = cfg.jdtype
+
+    def G(y: jax.Array, y_prev: jax.Array, tangent: jax.Array,
+          ds: jax.Array, fixed: jax.Array) -> jax.Array:
+        Z, p = y[:-1], y[-1].astype(dt_)
+        fixed = jnp.asarray(fixed, dt_)
+        if param == "beta":
+            params = MapParams(beta=p, sigma=fixed)
+        else:
+            params = MapParams(beta=fixed, sigma=p)
+        f = event_driven_map(cfg, params, key, Z,
+                             evolve_backend=evolve_backend)
+        arc = jnp.dot(y - y_prev, tangent) - ds
+        return jnp.concatenate([f, arc[None].astype(f.dtype)])
+
+    return G
+
+
 def make_extended_residual(cfg: ModelConfig, key: jax.Array, fixed,
                            *, param: str = "beta",
                            evolve_backend: str = "auto"
@@ -53,22 +85,14 @@ def make_extended_residual(cfg: ModelConfig, key: jax.Array, fixed,
     IFT event-time JVP (``d beta_draw/d sigma`` is the frozen noise, so
     ``dF/dsigma`` is exact under common random numbers).
     """
-    if param not in ("beta", "sigma"):
-        raise ValueError(f"param must be 'beta' or 'sigma', got {param!r}")
     dt_ = cfg.jdtype
+    Gh = make_extended_residual_held(cfg, key, param=param,
+                                     evolve_backend=evolve_backend)
     fixed = jnp.asarray(fixed, dt_)
 
     def G(y: jax.Array, y_prev: jax.Array, tangent: jax.Array,
           ds: jax.Array) -> jax.Array:
-        Z, p = y[:-1], y[-1].astype(dt_)
-        if param == "beta":
-            params = MapParams(beta=p, sigma=fixed)
-        else:
-            params = MapParams(beta=fixed, sigma=p)
-        f = event_driven_map(cfg, params, key, Z,
-                             evolve_backend=evolve_backend)
-        arc = jnp.dot(y - y_prev, tangent) - ds
-        return jnp.concatenate([f, arc[None].astype(f.dtype)])
+        return Gh(y, y_prev, tangent, ds, fixed)
 
     return G
 

@@ -161,11 +161,14 @@ def _run(args) -> int:
     from ..utils.checkpoint import ContinuationCheckpoint, ContinuationStep
     from ..utils.debug import dump_map_stages
 
+    if args.max_events is not None and args.max_events <= 0:
+        raise SystemExit(f"--max-events must be positive, "
+                         f"got {args.max_events}")
     cfg = ModelConfig(n_neurons=args.neurons, n_real=args.realisations,
                       n_spikes=args.spikes, t_horizon=args.horizon,
                       evolve_window=args.evolve_window, dtype=args.dtype,
                       **({"max_events": args.max_events}
-                         if args.max_events else {}))
+                         if args.max_events is not None else {}))
     ncfg = NewtonConfig(tolerance=args.tol, max_iterations=args.max_iter,
                         fd_epsilon=args.fd_eps, damping=args.damping,
                         print_output=not args.quiet, fd_mode=args.fd_mode)
@@ -304,10 +307,13 @@ def run_fold(args, cfg, ncfg, key, Z, beta) -> int:
     from ..analysis.fold import null_direction, track_fold
     from .. import differentiable_backend
 
+    # the fold system jacfwds the map, so resolve the user's backend to a
+    # differentiable one ("replay" passes through — the fast f64-grade path)
+    backend = differentiable_backend(args.evolve_backend)
     # initial null direction from the exact Jacobian at the near-fold guess
     F = make_residual_fn(cfg, MapParams.create(beta, args.sigma_values[0],
                                                dtype=args.dtype),
-                         key, evolve_backend="xla")
+                         key, evolve_backend=backend)
     v0 = null_direction(jax.jacfwd(F)(Z))
 
     acc = []
@@ -332,7 +338,7 @@ def run_fold(args, cfg, ncfg, key, Z, beta) -> int:
             save()
 
     pts = track_fold(cfg, key, Z, v0, beta, args.sigma_values, ncfg=ncfg,
-                     callback=on_point)
+                     evolve_backend=backend, callback=on_point)
     print(f"fold curve: {len(pts)}/{len(args.sigma_values)} sigma values "
           "traced")
     if args.checkpoint and pts:

@@ -308,11 +308,8 @@ def compute_schedule(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
     s32 = sg(s0.astype(jnp.float32))
     b32 = sg(beta.astype(jnp.float32))
     cfg32 = cfg.with_(dtype="float32", root_tol=max(cfg.root_tol, 1e-6))
-    use_pallas = schedule_backend == "pallas" or (
-        schedule_backend == "auto"
-        and cfg.n_neurons % 128 == 0
-        and 5 * cfg.n_spikes + 2 <= 128
-        and jax.default_backend() == "tpu")
+    from .emap import select_pallas_evolve
+    use_pallas = select_pallas_evolve(cfg32, schedule_backend)
     if use_pallas:
         from .evolve_pallas import evolve_ensemble_pallas
         res32, sched = evolve_ensemble_pallas(cfg32, v32, s32, b32, init_ind,

@@ -165,9 +165,14 @@ def lerp1d_binned(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
         qp = qp.at[:Q].set(q)
         iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
             jnp.arange(Q, dtype=jnp.int32))
+    # is_stable=False throughout this module: XLA's stable TPU sort costs
+    # ~6.4x the unstable one (measured 0.89 vs 0.14 ms per (f32,i32)
+    # 1024x2048 batched sort), and no site needs stability — tied query
+    # keys produce identical interpolants, restore/bin keys are distinct
+    # (or equal only among dropped pad sentinels)
     q_s, iq_s = jax.lax.sort((qp.reshape(n_batches, Qb),
                               iq.reshape(n_batches, Qb)),
-                             dimension=1, num_keys=1)
+                             dimension=1, num_keys=1, is_stable=False)
 
     n_pad = max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
     n_chunks = n_pad // _LANE
@@ -199,7 +204,8 @@ def lerp1d_binned(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     )(tab, tab1, q_s, lims))
 
     # restore: batched sort by original index (contiguous per batch)
-    _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1)
+    _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1,
+                          is_stable=False)
     return out.reshape(total)[:Q].reshape(shape)
 
 
@@ -267,7 +273,11 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
         # interpolant back as queries concentrates them and flatters the
         # sweep (see bench_lerp1d_64k).
         nb = min(1024, 1 << max(0, (xq.size // 2048).bit_length() - 1))
-        return lerp1d_binned(xq, fp, x0, dx, n_batches=nb, rows_g=1)
+        # match the plain path's output-dtype contract (compute is f32
+        # either way; without the cast, x64 callers changed dtype at the
+        # routing threshold)
+        return lerp1d_binned(xq, fp, x0, dx,
+                             n_batches=nb, rows_g=1).astype(xq.dtype)
     shape = xq.shape
     q = xq.reshape(-1).astype(jnp.float32)
     n = fp.shape[0]
@@ -455,7 +465,7 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
         iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
             jnp.arange(Q, dtype=jnp.int32))
         q_s, iq_s = jax.lax.sort((qp.reshape(NB, Qb), iq.reshape(NB, Qb)),
-                                 dimension=1, num_keys=1)
+                                 dimension=1, num_keys=1, is_stable=False)
         val = _x64_safe_call(lambda: pl.pallas_call(
             functools.partial(_interp1d_kernel, n, m, n_chunks, m_chunks, S,
                               NB),
@@ -475,7 +485,8 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
             out_specs=pl.BlockSpec((NB, _LANE), lambda g: (0, g),
                                    memory_space=pltpu.VMEM),
         )(xp1_tab, packed, bucket_tab, q_s, lims))
-        _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1)
+        _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1,
+                              is_stable=False)
         return out.reshape(total)[:Q]
 
     @jax.jit
@@ -754,7 +765,8 @@ def _bilinear_binned(pts: jax.Array, grids: jax.Array, x2: bool
               + jnp.minimum(c0 // be_c, nbc - 1))            # (B, Q)
     iq = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (B, Q))
     key = jax.lax.shift_left(bin_id, jnp.int32(bits)) | iq
-    key_s, r_s, c_s = jax.lax.sort((key, r, c), dimension=1, num_keys=1)
+    key_s, r_s, c_s = jax.lax.sort((key, r, c), dimension=1, num_keys=1,
+                                   is_stable=False)
 
     edges = jax.lax.shift_left(jnp.arange(nbins + 1, dtype=jnp.int32),
                                jnp.int32(bits))
@@ -826,7 +838,8 @@ def _bilinear_binned(pts: jax.Array, grids: jax.Array, x2: bool
     # unbin: ONE bitonic sort by original query index; sentinels (q_count)
     # sort past the tail we keep
     _, out_sorted = jax.lax.sort(
-        (qid.reshape(B, -1), val.reshape(B, -1)), dimension=1, num_keys=1)
+        (qid.reshape(B, -1), val.reshape(B, -1)), dimension=1, num_keys=1,
+        is_stable=False)
     return out_sorted[:, :Q]
 
 

@@ -125,13 +125,15 @@ def make_shard_map_residual_fn(cfg: ModelConfig, params: MapParams,
     dt_ = cfg.jdtype
 
     use_pallas = _emap.select_pallas_evolve(cfg, evolve_backend)
+    use_replay = evolve_backend == "replay"
 
     def local_map(Z):
         idx = jax.lax.axis_index(axis)
         local_key = jax.random.fold_in(key, idx)
         beta = _emap.sample_beta(local_cfg, params, local_key)
         U, _, _, _, res, positions = _emap.run_pipeline(
-            local_cfg, params, Z, beta, use_pallas=use_pallas)
+            local_cfg, params, Z, beta, use_pallas=use_pallas,
+            use_replay=use_replay)
         mask = res.accept.astype(dt_)[:, None]
         total_sum = jax.lax.psum(jnp.sum(positions * mask, axis=0), axis)
         total_count = jax.lax.psum(jnp.sum(res.accept.astype(dt_)), axis)

@@ -36,6 +36,24 @@ def test_shard_map_heterogeneous_deterministic(key, z_ref, mesh8):
     assert np.isfinite(a).all()
 
 
+def test_shard_map_honors_replay_backend(key, z_ref, mesh8):
+    """evolve_backend="replay" must actually run the df64 replay per shard
+    (it used to be silently dropped -> plain cfg-dtype XLA evolve); at
+    sigma=0 the sharded replay must match the unsharded replay exactly."""
+    cfg = ModelConfig(n_neurons=512, n_real=16, dtype="float64")
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+    F = jax.jit(make_shard_map_residual_fn(cfg, params, key, mesh8,
+                                           evolve_backend="replay"))
+    f_s = np.asarray(F(z_ref))
+    f_rep = np.asarray(event_driven_map(cfg, params, key, z_ref,
+                                        evolve_backend="replay"))
+    f_xla = np.asarray(event_driven_map(cfg, params, key, z_ref))
+    np.testing.assert_allclose(f_s, f_rep, rtol=0, atol=1e-13)
+    # and it really is the replay, not the f64 XLA path: the two backends
+    # differ at the replay's noise floor, well above reduction rounding
+    assert float(np.max(np.abs(f_s - f_xla))) > 1e-13
+
+
 def test_shard_map_rejects_indivisible_ensemble(key, mesh8):
     cfg = ModelConfig(n_neurons=512, n_real=10, dtype="float64")
     params = MapParams.create(13.0589, 0.0, dtype="float64")
