@@ -6,11 +6,13 @@ v5e chip against the XLA gather lowering (chained-iteration timing, see
 ``bench.py``):
 
   * ``lerp1d``:   ~14 Gq/s vs 0.07 Gq/s XLA (1k nodes); at 64k nodes the
-    sort-for-locality path (``lerp1d_binned``) reaches ~0.7 Gq/s (4x the
-    round-2 rolled chunk sweep's 0.17 — batched value sort + dynamic-span
-    sweep; the remaining cost is ~sort-bound)
-  * ``make_interp1d`` (non-uniform nodes): ~0.35 Gq/s, exact vs the XLA
-    searchsorted semantics
+    sort-for-locality path (``lerp1d_binned``) reaches ~1.1-2.2 Gq/s
+    (6-13x the round-2 rolled chunk sweep's 0.17 — batched UNSTABLE value
+    sort + dynamic-span sweep; ``is_stable=False`` alone is ~6.4x on the
+    sorts, and with cheap sorts the optimum moved to longer rows,
+    Qb ~ 4096)
+  * ``make_interp1d`` (non-uniform nodes): ~0.97 Gq/s at 4k nodes / 2M
+    uniform-distributed queries, exact vs the XLA searchsorted semantics
   * ``bilinear_batched``: ~0.48 Gq/s vs 0.018 Gq/s XLA at 256x256 (full
     tent kernel, bf16x2 with adaptive query sub-tiling, ~95% MFU of the
     3-matmul algorithmic ceiling — BENCH_r02: 475 Mq/s at 94.8%);
@@ -264,15 +266,17 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     if fp.shape[0] > MAX_TABLE:
         raise ValueError(f"table too large for VMEM kernel: {fp.shape[0]}")
     if fp.shape[0] > 8192 and xq.size >= 131072:
-        # Batch size trade (uniform queries, 2M x 64k measured): finer
-        # batches cut bitonic stages but widen the kernel's per-group span
-        # via cross-batch quantile jitter; Qb ~ 2048-4096 is the joint
-        # optimum (2.8-3.0 ms; Qb=1024 is 3.5 ms).  nb MUST be a power of
-        # two — XLA's row bitonic pads non-pow2 rows (nb=640..896 measured
-        # 4x slower).  NOTE: measure distribution-controlled; feeding an
-        # interpolant back as queries concentrates them and flatters the
-        # sweep (see bench_lerp1d_64k).
-        nb = min(1024, 1 << max(0, (xq.size // 2048).bit_length() - 1))
+        # Batch size trade (uniform queries, 2M x 64k, unstable sorts):
+        # longer rows (smaller nb) put more groups along the sorted
+        # direction, so each group's chunk span narrows — and with
+        # is_stable=False the extra bitonic stages are nearly free.
+        # Measured at Q=2M: Qb=4096 (nb=512) 0.95 ms; Qb=2048 (nb=1024)
+        # 2.4-3.4 ms; Qb=8192 (nb=256) 1.9 ms — target Qb ~ 4096.
+        # nb MUST be a power of two: XLA's row bitonic pads non-pow2 rows
+        # (nb=640..896 measured 4x slower).  NOTE: measure
+        # distribution-controlled; feeding an interpolant back as queries
+        # concentrates them and flatters the sweep (see bench_lerp1d_64k).
+        nb = max(8, min(512, 1 << max(0, (xq.size // 4096).bit_length() - 1)))
         # match the plain path's output-dtype contract (compute is f32
         # either way; without the cast, x64 callers changed dtype at the
         # routing threshold)

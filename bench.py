@@ -131,7 +131,9 @@ def bench_lerp1d_64k():
             return jnp.sum(jax.lax.fori_loop(0, K, body, q0))
         return run
 
-    s = _slope(make, k_lo=1, k_hi=5, reps=5, stat=np.min)
+    # unstable sorts took per-iteration cost to ~2 ms: a K-spread of 4 sat
+    # inside tunnel jitter and sporadically fit a NaN slope — widen it
+    s = _slope(make, k_lo=1, k_hi=13, reps=7, stat=np.min)
     return Q / s, err
 
 
@@ -155,11 +157,16 @@ def bench_interp1d_nonuniform():
         @jax.jit
         def run():
             def body(_, q):
-                return f(q) * 2.9 + 0.5
+                # ulp-scale data-dependent shift: keeps the query
+                # distribution uniform over the table (f(q)*2.9 as the
+                # next queries concentrated everything in the first ~2
+                # chunks of the ~2000-wide domain, flattering the sweep)
+                # while defeating CSE across iterations
+                return q0 + 1e-6 * f(q)
             return jnp.sum(jax.lax.fori_loop(0, K, body, q0))
         return run
 
-    s = _slope(make, k_lo=1, k_hi=5, reps=5, stat=np.min)
+    s = _slope(make, k_lo=1, k_hi=13, reps=7, stat=np.min)
     return Q / s, err
 
 
