@@ -454,14 +454,15 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
     lims = jnp.array([edges[0], m / (xp_h[-1] - xp_h[0]),
                       xp_h[0], xp_h[-1]], f32)
 
-    NB = 256   # sort batches for the large-Q sorted path (block minor-2 dim)
-
     def _interp_sorted(q: jax.Array) -> jax.Array:
         """Value-sorted query path: the same kernel, but every chunk sweep
         collapses to the block's own narrow dynamic range (see
         :func:`lerp1d_binned` for the batched-sort reasoning; each grid
-        step here is one sorted 128-column group across all NB batches)."""
+        step here is one sorted 128-column group across all NB batches).
+        Batch count targets Qb ~ 4096 like :func:`lerp1d` (with unstable
+        sorts, longer rows = narrower per-group spans win)."""
         Q = q.shape[0]
+        NB = max(8, min(512, 1 << max(0, (Q // 4096).bit_length() - 1)))
         Qb = -(-Q // (NB * _LANE)) * _LANE
         total = NB * Qb
         qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
