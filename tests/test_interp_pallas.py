@@ -255,6 +255,21 @@ def test_lerp1d_routing_large_table_pow2_batches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_lerp1d_routing_preserves_query_dtype():
+    """The binned route must honor the caller dtype like the plain path
+    (it used to return f32 unconditionally, so x64 pipelines silently
+    changed dtype at the routing threshold)."""
+    n = 16384
+    fp = jnp.sin(jnp.linspace(-3, 3, n, dtype=jnp.float64))
+    dx = 6.0 / (n - 1)
+    xq = jax.random.uniform(jax.random.PRNGKey(21), (131072,), jnp.float64,
+                            -3.0, 3.0)
+    got = interp_pallas.lerp1d(xq, fp, -3.0, dx)
+    assert got.dtype == jnp.float64
+    want = interp.lerp_uniform(xq, fp, -3.0, dx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_interp1d_nonuniform_sorted_path():
     """Queries above the sorted-path threshold (262144) route through the
     batched-sort + dynamic-span kernel; must stay exact vs the XLA
