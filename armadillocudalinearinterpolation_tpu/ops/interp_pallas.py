@@ -16,7 +16,7 @@ v5e chip against the XLA gather lowering (chained-iteration timing, see
   * ``bilinear_batched``: ~0.48 Gq/s vs 0.018 Gq/s XLA at 256x256 (full
     tent kernel, bf16x2 with adaptive query sub-tiling, ~95% MFU of the
     3-matmul algorithmic ceiling — BENCH_r02: 475 Mq/s at 94.8%);
-    ~0.17 Gq/s at 1024x1024 via the 2D-binned path (21x XLA; the full
+    ~0.21 Gq/s at 1024x1024 via the 2D-binned path (13-25x XLA; the full
     kernel exceeds scoped VMEM past ~512x512), near-flat in grid size
   * ``bilinear_batched_f64``: ~5x the XLA emulated-f64 path at full f64
     accuracy (hi/lo-split corner gather + exact f64 blend)
