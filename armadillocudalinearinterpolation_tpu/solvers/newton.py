@@ -362,7 +362,11 @@ def frozen_jacobian_polish(
     for it in range(max_iterations + 1):
         f = Fj(x)
         norm = float(jnp.linalg.norm(f))
-        if norm < best_norm:
+        # `or best_f is None`: a NaN first residual (caller handed a
+        # diverged iterate) must still populate best_f, else the damped
+        # step below negates None and crashes — with it, the polish
+        # degrades to returning (x0, nan, converged=False)
+        if norm < best_norm or best_f is None:
             best_x, best_f, best_norm = x, f, norm
         if norm <= tolerance or it == max_iterations:
             break

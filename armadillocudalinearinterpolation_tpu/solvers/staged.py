@@ -1,0 +1,148 @@
+"""Staged hybrid-precision Newton: the library form of the 1e-8 recipe.
+
+The reference gets deep tolerances for free from a native-double solver
+(``/root/reference/NewtonSolver.cpp:40-161``); on TPU the same accuracy is
+reached in three stages whose cost profile was measured on the chip
+(N=4096, warm):
+
+  1. **fp32 fast stage** (~0.35 s/iter): fused :func:`..solvers.newton
+     .newton_solve` with the Pallas/windowed f32 evolve takes the iterate
+     to the f32 residual floor (~2e-5).
+  2. **df64 exact stage** (~4.9 s/iter): host-driven Newton on the
+     schedule-replay backend with forward-mode exact Jacobians
+     (:mod:`..model.replay`).  Its tolerance is NOT the target: each
+     jacfwd iteration costs ~8x a forward eval, while a frozen-Jacobian
+     step costs one — so this stage stops inside the polish's capture
+     range (``stage2_tolerance``, default ``5 * tolerance``), typically
+     after 1-2 iterations.
+  3. **frozen-Jacobian polish** (~0.7 s/iter): best-iterate quasi-Newton
+     (:func:`..solvers.newton.frozen_jacobian_polish`) walks the
+     event-reordering jump landscape down to the target.
+
+Measured end-to-end at N=4096: 165 s (round-2 emulated f64) -> ~20 s
+(3 exact iterations) -> ~12-15 s with the capture-range staging here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, MapParams, NewtonConfig
+from ..model.emap import make_residual_fn
+from .newton import (NewtonResult, frozen_jacobian_polish, newton_solve,
+                     newton_solve_host)
+
+
+def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
+                        Z0: jax.Array, *,
+                        tolerance: float = 1e-8,
+                        stage1_ncfg: Optional[NewtonConfig] = None,
+                        stage2_ncfg: Optional[NewtonConfig] = None,
+                        stage2_tolerance: Optional[float] = None,
+                        polish_iterations: int = 24,
+                        evolve_backend: str = "replay",
+                        jit_cache: Optional[dict] = None) -> NewtonResult:
+    """Solve the event-driven map to ``tolerance`` via the staged recipe.
+
+    Args:
+      cfg: model config at the *accurate* dtype (``float64``; the fp32
+        stage derives its own config via ``cfg.with_(dtype="float32")``).
+      params, key: map parameters and the common-random-numbers key
+        (shared by every stage — the stages walk ONE realisation of the
+        stochastic map).
+      Z0: initial guess (any float dtype).
+      tolerance: final residual-norm target (in the accurate backend).
+      stage1_ncfg: fp32 stage solver config; default 6 damped iterations
+        of central FD at the f32-appropriate epsilon 1e-3.
+      stage2_ncfg: df64 stage config; default exact-Jacobian mode with
+        ``stage2_tolerance`` (capture-range staging, see module
+        docstring).  Pass ``fd_mode="central"`` here to avoid jacfwd.
+      stage2_tolerance: override for the stage-2 stopping norm
+        (default ``5 * tolerance``).
+      polish_iterations: frozen-Jacobian polish budget (each is one map
+        evaluation).
+      evolve_backend: accurate-stage backend (``"replay"`` = df64
+        schedule replay, the fast path; ``"xla"`` = native/emulated f64).
+      jit_cache: optional dict shared across calls (parameter sweeps)
+        so re-solves pay zero re-tracing.
+
+    Returns:
+      :class:`NewtonResult` whose ``solution``/``residual_norm`` come
+      from the best polished iterate; ``iterations`` is the total across
+      all three stages; ``converged`` reflects the final target.
+
+    Basin note: the contract is "a root of the accurate map to
+    ``tolerance``", not "the same root a direct f64 solve from ``Z0``
+    finds".  The map can have coexisting same-speed solutions ~0.04
+    apart in spike spacing; at reference ensemble scales the fp32 stage
+    hands off within ~2e-5 of a root and the staging preserves the
+    basin, but at small/noisy configs it may land in a neighbouring one.
+    Verify the returned ``residual_norm`` (it is a plain, independently
+    recomputable ``|F|``) and the wave speed ``solution[0]`` if basin
+    identity matters.
+    """
+    cache = jit_cache if jit_cache is not None else {}
+    dt_acc = cfg.jdtype
+
+    cfg32 = cfg.with_(dtype="float32",
+                      root_tol=max(cfg.root_tol, 1e-6))
+    params32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    if stage1_ncfg is None:
+        stage1_ncfg = NewtonConfig(tolerance=tolerance, max_iterations=6,
+                                   fd_epsilon=1e-3, fd_mode="central")
+    if stage2_tolerance is None:
+        stage2_tolerance = 5.0 * tolerance
+    if stage2_ncfg is None:
+        # budget 6, but the stage stops at stage2_tolerance — from a good
+        # fp32 hand-off (~2e-5 at reference scale) that is 1-2 iterations;
+        # the slack only spends when the fp32 floor is high (small
+        # ensembles), where damped Newton needs the extra steps (a
+        # divergence cutoff here was tried and rejected: an early
+        # transient overshoot is normal from a rough hand-off, and
+        # cutting it off hands the polish a diverged iterate).
+        stage2_ncfg = NewtonConfig(tolerance=stage2_tolerance,
+                                   max_iterations=6, fd_mode="exact")
+
+    if "stage1" not in cache:
+        F32 = make_residual_fn(cfg32, params32, key)
+        cache["stage1"] = jax.jit(lambda z: newton_solve(F32, z, stage1_ncfg))
+    r32 = cache["stage1"](Z0.astype(jnp.float32))
+    jax.block_until_ready(r32.solution)
+    # fp32 FD Newton can blow up on rough small-ensemble landscapes; a
+    # non-finite hand-off falls back to the caller's guess (stage 2's
+    # exact Jacobians are the robust solver, just slower per iteration)
+    handoff = r32.solution
+    if not bool(jnp.all(jnp.isfinite(handoff))):
+        handoff = Z0.astype(jnp.float32)
+        stage1_iters = 0
+    else:
+        stage1_iters = int(r32.iterations)
+
+    F_acc = cache.setdefault("F_acc_fn", make_residual_fn(
+        cfg, params, key, evolve_backend=evolve_backend))
+    sub = cache.setdefault("stage2_cache", {})
+    res = newton_solve_host(F_acc, handoff.astype(dt_acc), stage2_ncfg,
+                            jit_cache=sub)
+    # a diverged exact stage (non-finite iterate) must not poison the
+    # polish: restart it from the fp32 hand-off with the exported
+    # Jacobian (evaluated before the divergence)
+    x2 = res.solution
+    if not bool(jnp.all(jnp.isfinite(x2))):
+        x2 = handoff.astype(dt_acc)
+    pol = frozen_jacobian_polish(F_acc, x2, res.jacobian,
+                                 max_iterations=polish_iterations,
+                                 tolerance=0.9 * tolerance,
+                                 jit_cache=sub)
+    total_iters = (stage1_iters + int(res.iterations)
+                   + int(pol.iterations))
+    return NewtonResult(
+        solution=pol.solution,
+        converged=jnp.asarray(float(pol.residual_norm) <= tolerance),
+        iterations=jnp.int32(total_iters),
+        residual_norm=pol.residual_norm,
+        residual_history=pol.residual_history,
+        jacobian=res.jacobian,
+        residual=pol.residual)

@@ -371,54 +371,29 @@ def bench_newton_1e8():
     (one XLA-f64 evaluation at the solution, outside the timed solve).
     """
     from armadillocudalinearinterpolation_tpu import (
-        ModelConfig, MapParams, NewtonConfig, make_residual_fn,
-        newton_solve, newton_solve_host)
-    from armadillocudalinearinterpolation_tpu.solvers.newton import (
-        frozen_jacobian_polish)
+        ModelConfig, MapParams, make_residual_fn, newton_solve_staged)
 
     jax.config.update("jax_enable_x64", True)
     key = jax.random.PRNGKey(0)
     Z0 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float32)
 
-    # Stage 1: fp32 fast path (windowed Pallas evolve) to ~2e-5 in its own
-    # metric; the certified window is exact, so the staged trajectory is
-    # unchanged.
-    cfg32 = ModelConfig(n_neurons=4096, n_real=64, dtype="float32",
-                        evolve_window=512)
-    params32 = MapParams.create(13.0589, 0.1, dtype="float32")
-    F32 = make_residual_fn(cfg32, params32, key)
-    n32 = NewtonConfig(tolerance=1e-8, max_iterations=6, fd_epsilon=1e-3,
-                       fd_mode="central")
-    solve32 = jax.jit(lambda z: newton_solve(F32, z, n32))
-
-    # Stage 2/3 function set: df64 replay Newton to the map's discontinuity
-    # scale (~1e-8 at N=4096: event-reordering jumps).  fd_mode="exact"
-    # jacfwds through the replay scan (IFT tangents at every scalar root) —
-    # no FD epsilon, no schedule-flip differencing noise.
+    # The staged recipe lives in the library (solvers/staged.py): fp32
+    # windowed-Pallas Newton to ~2e-5, df64 replay Newton with exact
+    # forward-mode Jacobians down to the polish capture range (5e-8 —
+    # each jacfwd iteration costs ~4.9 s vs ~0.7 s per frozen-Jacobian
+    # eval, so the exact stage stops early), then the best-iterate
+    # frozen-Jacobian polish to the 1e-8 target on the event-reordering
+    # jump landscape.
     cfg64 = ModelConfig(n_neurons=4096, n_real=64, dtype="float64",
                         root_tol=1e-12, evolve_window=512, max_events=4096)
     params64 = MapParams.create(13.0589, 0.1, dtype="float64")
-    F64 = make_residual_fn(cfg64, params64, key, evolve_backend="replay")
-    n64 = NewtonConfig(tolerance=1e-9, max_iterations=3, fd_mode="exact")
 
     jits = {}  # shared across passes: the replay trace alone is ~13 s
 
     def staged_solve(z0):
-        r32 = solve32(z0)
-        _ = float(r32.residual_norm)  # sync
-        res = newton_solve_host(F64, r32.solution.astype(jnp.float64), n64,
-                                jit_cache=jits)
-        # Frozen-Jacobian best-iterate polish as a safety net: if the full
-        # Newton stage bottoms out above target on the jump landscape, one
-        # cheap eval per step samples for a deeper point (round-2 recipe;
-        # with the replay path stage 2 usually lands < 1e-8 by itself and
-        # the polish exits after its first residual check).
-        pol = frozen_jacobian_polish(F64, res.solution, res.jacobian,
-                                     max_iterations=16, tolerance=9e-9,
-                                     jit_cache=jits)
-        iters = (int(r32.iterations) + int(res.iterations)
-                 + int(pol.iterations))
-        return pol, iters
+        pol = newton_solve_staged(cfg64, params64, key, z0,
+                                  tolerance=1e-8, jit_cache=jits)
+        return pol, int(pol.iterations)
 
     # Cold pass: includes tracing + (server-cached) kernel compiles.  A
     # production continuation pays this once per process and then runs the
@@ -437,6 +412,7 @@ def bench_newton_1e8():
     # delta at the solution (NOT part of the timed solve; the emulated
     # evaluation alone costs ~13 s — the whole point of the replay path)
     F_emu = make_residual_fn(cfg64, params64, key, evolve_backend="xla")
+    F64 = jits["F_acc_fn"]
     d_emu = float(jnp.max(jnp.abs(F_emu(pol.solution)
                                   - F64(pol.solution))))
     return (t_solve, t_cold, iters,
