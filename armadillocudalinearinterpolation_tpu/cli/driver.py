@@ -68,10 +68,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "; sizes the replay backend's fixed-length scan — "
                         "set to ~1.5x the expected event count, e.g. 1024 "
                         "at 512 neurons, 4096 at 4096)")
+    p.add_argument("--root-tol", type=float, default=None,
+                   help="event-time root-find tolerance (ModelConfig."
+                        "root_tol; default 1e-6 = reference parameters.hpp"
+                        "). --staged tightens it to 1e-4x --tol by itself")
     p.add_argument("--evolve-window", type=int, default=0,
                    help="Pallas evolve root-find window in lanes (multiple "
                         "of 128; 0 = all lanes). Certified exact per event; "
                         "~3x faster at reference scale")
+    p.add_argument("--staged", action="store_true",
+                   help="solve each sweep step with the staged hybrid-"
+                        "precision recipe (fp32 Pallas Newton -> df64 "
+                        "replay Newton with exact Jacobians -> frozen-"
+                        "Jacobian polish; solvers/staged.py). Reaches "
+                        "f64-grade tolerances (--tol 1e-8) at ~8x the "
+                        "emulated-f64 cost; requires --dtype float64")
     p.add_argument("--damping", type=float, default=1.0)
     p.add_argument("--quiet", action="store_true")
     # continuation (Driver.cu:86-114)
@@ -164,11 +175,17 @@ def _run(args) -> int:
     if args.max_events is not None and args.max_events <= 0:
         raise SystemExit(f"--max-events must be positive, "
                          f"got {args.max_events}")
+    if args.staged and args.dtype != "float64":
+        print("error: --staged solves in the accurate dtype; pass "
+              "--dtype float64", file=sys.stderr)
+        return 2
     cfg = ModelConfig(n_neurons=args.neurons, n_real=args.realisations,
                       n_spikes=args.spikes, t_horizon=args.horizon,
                       evolve_window=args.evolve_window, dtype=args.dtype,
                       **({"max_events": args.max_events}
-                         if args.max_events is not None else {}))
+                         if args.max_events is not None else {}),
+                      **({"root_tol": args.root_tol}
+                         if args.root_tol is not None else {}))
     ncfg = NewtonConfig(tolerance=args.tol, max_iterations=args.max_iter,
                         fd_epsilon=args.fd_eps, damping=args.damping,
                         print_output=not args.quiet, fd_mode=args.fd_mode)
@@ -240,21 +257,34 @@ def _run(args) -> int:
     if args.arclength:
         return run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start)
 
-    # exact Jacobians differentiate through the map: the Pallas kernel
-    # defines no JVP, so exact mode resolves to a differentiable backend
-    # (xla, or the df64 replay if requested)
-    solve_backend = (differentiable_backend(args.evolve_backend)
-                     if ncfg.fd_mode == "exact" else args.evolve_backend)
-    solve = jax.jit(lambda p, k, z: newton_solve(
-        make_residual_fn(cfg, p, k, evolve_backend=solve_backend),
-        z, ncfg))
+    if args.staged:
+        from ..solvers.staged import newton_solve_staged
+        # one cache across the sweep: (params, key) are traced arguments of
+        # every cached program, so step 2 onward re-traces nothing
+        staged_cache = {}
+
+        def solve(p, k, z):
+            return newton_solve_staged(
+                cfg, p, k, z, tolerance=args.tol,
+                evolve_backend=("replay" if args.evolve_backend == "auto"
+                                else args.evolve_backend),
+                jit_cache=staged_cache)
+    else:
+        # exact Jacobians differentiate through the map: the Pallas kernel
+        # defines no JVP, so exact mode resolves to a differentiable backend
+        # (xla, or the df64 replay if requested)
+        solve_backend = (differentiable_backend(args.evolve_backend)
+                         if ncfg.fd_mode == "exact" else args.evolve_backend)
+        solve = jax.jit(lambda p, k, z: newton_solve(
+            make_residual_fn(cfg, p, k, evolve_backend=solve_backend),
+            z, ncfg))
 
     for i in range(start, start + args.steps):
         params = MapParams.create(beta, args.sigma, dtype=args.dtype)
         res = solve(params, key, Z)
         sol = np.asarray(res.solution)
         ok = bool(res.converged)
-        if not args.quiet and not live_log_supported():
+        if not args.quiet and not args.staged and not live_log_supported():
             # Backends without host callbacks (the TPU tunnel) can't print
             # mid-solve; replay the iteration table in the reference format
             # (AbstractNonlinearSolver.cpp:11-95) from the recorded history.

@@ -237,6 +237,7 @@ def newton_solve_host(
     criterion: Optional[Criterion] = None,
     serial_fd: bool = False,
     jit_cache: Optional[dict] = None,
+    F_args: tuple = (),
 ) -> NewtonResult:
     """Host-driven Newton: same semantics as :func:`newton_solve`, but the
     outer loop runs in Python with one short device program per step.
@@ -256,21 +257,30 @@ def newton_solve_host(
       serial_fd: evaluate finite-difference Jacobian columns as separate
         dispatches (n+1 short programs) instead of one ``vmap`` batch —
         trades throughput for the shortest possible device programs.
-      jit_cache: optional dict reused across calls with the SAME ``F`` —
-        keeps the jitted residual/Jacobian wrappers (and their trace
-        caches) alive, so a second solve pays zero re-tracing (the replay
-        map's trace alone is ~13 s at N=4096).
+      jit_cache: optional dict reused across calls with the SAME ``F``
+        *object* — keeps the jitted residual/Jacobian wrappers (and their
+        trace caches) alive, so a second solve pays zero re-tracing (the
+        replay map's trace alone is ~13 s at N=4096).
+      F_args: extra *traced* arguments forwarded as ``F(x, *F_args)`` —
+        pass sweep parameters (e.g. ``(params, key)``) here instead of
+        closing over them, so a parameter sweep sharing ``jit_cache``
+        re-traces nothing (closed-over arrays would be baked into the
+        cached jaxpr as constants).
     """
     test = criterion if criterion is not None else residual_norm_criterion(
         cfg.tolerance)
     n = x0.shape[0]
     dt_ = x0.dtype
     cache = jit_cache if jit_cache is not None else {}
-    Fj = cache.setdefault("F", jax.jit(F))
+    Fj_raw = cache.setdefault("F", jax.jit(F))
+    Fj = (lambda x: Fj_raw(x, *F_args)) if F_args else Fj_raw
     # hoisted so exact mode traces/lowers the Jacobian program once, not
-    # once per iteration (a fresh jax.jit wrapper has an empty trace cache)
-    Jf = (cache.setdefault("J", jax.jit(jax.jacfwd(Fj)))
-          if cfg.fd_mode == "exact" else None)
+    # once per iteration (a fresh jax.jit wrapper has an empty trace cache).
+    # jacfwd over argnums=0: F_args are parameters, not unknowns.
+    Jf_raw = (cache.setdefault("J", jax.jit(jax.jacfwd(F)))
+              if cfg.fd_mode == "exact" else None)
+    Jf = ((lambda x: Jf_raw(x, *F_args)) if F_args else Jf_raw) \
+        if Jf_raw is not None else None
     eps = cfg.fd_epsilon
 
     if cfg.print_output:
@@ -335,6 +345,7 @@ def frozen_jacobian_polish(
     max_iterations: int = 8,
     tolerance: float = 0.0,
     jit_cache: Optional[dict] = None,
+    F_args: tuple = (),
 ) -> NewtonResult:
     """Quasi-Newton polish with a frozen Jacobian, keeping the best iterate.
 
@@ -349,7 +360,8 @@ def frozen_jacobian_polish(
     is a plain ``|F(solution)|`` — independently verifiable.
     """
     cache = jit_cache if jit_cache is not None else {}
-    Fj = cache.setdefault("F", jax.jit(F))
+    Fj_raw = cache.setdefault("F", jax.jit(F))
+    Fj = (lambda x: Fj_raw(x, *F_args)) if F_args else Fj_raw
     x = x0
     best_x, best_f, best_norm = x0, None, float("inf")
     # A frozen-Jacobian iteration on a jumpy landscape can lock into a

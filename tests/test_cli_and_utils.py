@@ -46,6 +46,25 @@ def test_cli_continuation_with_stability_and_checkpoint(tmp_path, capsys):
     assert steps[0].n_unstable is not None
 
 
+def test_cli_staged_sweep(capsys):
+    # two --staged continuation steps share one jit cache; both must land
+    # at the deep tolerance on their own step's map (params/key are traced
+    # arguments of the cached programs)
+    rc = main(["--neurons", "512", "--realisations", "8",
+               "--dtype", "float64", "--staged", "--tol", "1e-7",
+               "--max-events", "2048", "--steps", "2",
+               "--beta-step", "0.2", "--quiet"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("converged=True") == 2
+
+
+def test_cli_staged_requires_f64(capsys):
+    rc = main(["--staged", "--quiet"])
+    assert rc == 2
+    assert "float64" in capsys.readouterr().err
+
+
 def test_cli_bad_guess_arity(capsys):
     rc = main(ARGS + ["--guess", "0.3", "0.7"])
     assert rc == 2

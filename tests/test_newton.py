@@ -138,3 +138,36 @@ def test_divergence_cutoff_stops_runaway():
     res2 = jax.jit(lambda z: newton_solve(F, z, free))(x0)
     assert not bool(res2.converged)
     assert int(res2.iterations) == 25  # reference behavior: full budget
+
+
+def test_host_solver_F_args_threading():
+    """F_args are traced arguments of the cached programs: two solves at
+    DIFFERENT parameters through the same jit_cache must each solve their
+    own problem (closed-over params would bake step 0's values into the
+    cached jaxpr as constants)."""
+    from armadillocudalinearinterpolation_tpu import (NewtonConfig,
+                                                      newton_solve_host)
+    from armadillocudalinearinterpolation_tpu.solvers.newton import (
+        frozen_jacobian_polish)
+
+    def F(x, a):  # root at x = sqrt(a), component-wise
+        return x * x - a
+
+    cache = {}
+    ncfg = NewtonConfig(tolerance=1e-12, max_iterations=30, fd_mode="exact")
+    for a_val in (4.0, 9.0):
+        a = jnp.asarray([a_val, a_val])
+        res = newton_solve_host(F, jnp.asarray([1.0, 1.0]), ncfg,
+                                jit_cache=cache, F_args=(a,))
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.solution),
+                                   np.sqrt([a_val, a_val]), rtol=1e-10)
+
+    # the polish threads F_args the same way (and through the same cache)
+    a = jnp.asarray([16.0, 16.0])
+    pol = frozen_jacobian_polish(
+        F, jnp.asarray([4.1, 4.1]), jnp.eye(2) * 8.2,
+        max_iterations=20, tolerance=1e-10, jit_cache=cache, F_args=(a,))
+    assert bool(pol.converged)
+    np.testing.assert_allclose(np.asarray(pol.solution), [4.0, 4.0],
+                               rtol=1e-8)

@@ -49,3 +49,18 @@ def test_staged_solve_reaches_target(key):
     res2 = newton_solve_staged(cfg, params, key, Z0 + 1e-3, tolerance=1e-7,
                                jit_cache=cache)
     assert bool(res2.converged)
+
+    # sweep semantics: (params, key) are traced arguments of the cached
+    # programs — a DIFFERENT beta and key through the SAME cache must solve
+    # the new map, not replay step 0's baked-in constants.  The residual
+    # check goes through a fresh, cache-free oracle at the new parameters.
+    params_b = MapParams.create(13.4589, 0.0, dtype="float64")
+    key_b = jax.random.split(key)[0]
+    res3 = newton_solve_staged(cfg, params_b, key_b, res.solution,
+                               tolerance=1e-7, jit_cache=cache)
+    assert bool(res3.converged)
+    F_b = make_residual_fn(cfg, params_b, key_b)
+    assert float(jnp.linalg.norm(F_b(res3.solution))) <= 2e-7
+    # higher beta -> faster wave on this family; at minimum, a different map
+    # must give a measurably different root
+    assert abs(float(res3.solution[0]) - float(res.solution[0])) > 1e-4
