@@ -225,7 +225,19 @@ def _run(args) -> int:
                 key, _ = jax.random.split(key)
             print(f"resuming at step {start} (beta={beta:.4f})")
 
-    if args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
+    if args.staged:
+        # the staged recipe carries its own stage budgets/damping/FD setup
+        # (solvers/staged.py); flag knobs that would otherwise silently
+        # not take effect
+        defaults = build_parser().parse_args(["--staged"])
+        ignored = [f for f in ("max_iter", "fd_eps", "fd_mode", "damping")
+                   if getattr(args, f) != getattr(defaults, f)]
+        if ignored:
+            flags = ", ".join("--" + f.replace("_", "-") for f in ignored)
+            print(f"warning: {flags} ignored with --staged (the staged "
+                  "recipe uses its own stage configs; see "
+                  "solvers/staged.py)", file=sys.stderr)
+    elif args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
         # The map's spike-index seeding quantises with the grid, so an FD
         # stencil wider than one cell straddles O(dx) staircase steps and
         # can poison the Jacobian (observed: divergence at N=1024 with the

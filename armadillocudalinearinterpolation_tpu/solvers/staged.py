@@ -65,12 +65,17 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
       polish_iterations: frozen-Jacobian polish budget (each is one map
         evaluation).
       evolve_backend: accurate-stage backend (``"replay"`` = df64
-        schedule replay, the fast path; ``"xla"`` = native/emulated f64).
+        schedule replay, the fast path; ``"xla"`` = native/emulated f64;
+        ``"auto"``/``"pallas"`` resolve to ``"replay"`` — the raw Pallas
+        kernel is fp32-only and defines no JVP, and the replay IS its
+        accurate/differentiable form).
       jit_cache: optional dict shared across calls (parameter sweeps)
         so re-solves pay zero re-tracing — ``params``/``key`` are traced
         arguments of every cached program, so the cache stays valid as
-        they change step to step.  The cache assumes ``cfg``, the stage
-        configs, and ``evolve_backend`` are the same on every call.
+        they change step to step.  ``cfg`` (including the ``root_tol``
+        derived from ``tolerance``), the stage configs, and the backend
+        must be identical on every call — enforced with a ``ValueError``
+        (the cached programs bake them in).
 
     Returns:
       :class:`NewtonResult` whose ``solution``/``residual_norm`` come
@@ -91,6 +96,14 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     identity matters.
     """
     cache = jit_cache if jit_cache is not None else {}
+    # The accurate stage differentiates the map (exact mode) and solves in
+    # f64, which the raw Pallas kernel can do neither of (fp32-only, no
+    # JVP) — resolve "auto"/"pallas" at the library boundary (round-2
+    # advisor convention, cf. emap.differentiable_backend) to the replay
+    # backend: it IS the Pallas-accelerated accurate path (f32 schedule
+    # pass in the kernel + differentiable df64 replay).
+    if evolve_backend in ("auto", "pallas"):
+        evolve_backend = "replay"
     # The event-time roots must resolve far below the residual target —
     # crossing times feed the restriction lerp directly, so root error is
     # residual error.  Tighten a default-config root_tol (1e-6, the
@@ -118,6 +131,16 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         stage2_ncfg = NewtonConfig(tolerance=stage2_tolerance,
                                    max_iterations=6, fd_mode="exact")
 
+    # The cached programs bake in everything below — a cache built under a
+    # different identity would silently solve the wrong problem (e.g. a
+    # tightened `tolerance` changes root_tol inside cfg).  Fail loudly.
+    ident = (cfg, evolve_backend, stage1_ncfg, stage2_ncfg)
+    if cache.setdefault("_identity", ident) != ident:
+        raise ValueError(
+            "jit_cache was built for a different (cfg, evolve_backend, "
+            "stage configs) — including the root_tol derived from "
+            "`tolerance`.  Use a fresh cache for a different setup.")
+
     if "stage1" not in cache:
         def _stage1(z, p, k):
             return newton_solve(make_residual_fn(cfg32, p, k), z,
@@ -126,14 +149,16 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     r32 = cache["stage1"](Z0.astype(jnp.float32), params32, key)
     jax.block_until_ready(r32.solution)
     # fp32 FD Newton can blow up on rough small-ensemble landscapes; a
-    # non-finite hand-off falls back to the caller's guess (stage 2's
-    # exact Jacobians are the robust solver, just slower per iteration)
-    handoff = r32.solution
-    if not bool(jnp.all(jnp.isfinite(handoff))):
-        handoff = Z0.astype(jnp.float32)
-        stage1_iters = 0
-    else:
+    # non-finite hand-off falls back to the caller's guess AT FULL
+    # PRECISION (no f32 round-trip — a warm-started f64 sweep guess
+    # carries digits the f32 stage never saw; stage 2's exact Jacobians
+    # are the robust solver, just slower per iteration)
+    if bool(jnp.all(jnp.isfinite(r32.solution))):
+        handoff = r32.solution.astype(dt_acc)
         stage1_iters = int(r32.iterations)
+    else:
+        handoff = Z0.astype(dt_acc)
+        stage1_iters = 0
 
     # The accurate residual takes (params, key) as traced arguments —
     # closing over them would bake this step's values into the cached
@@ -158,12 +183,14 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         if not bool(jnp.all(jnp.isfinite(x2))):
             x2 = x_start
         jac = res.jacobian
-        if int(res.iterations) == 0 and float(res.residual_norm) > tolerance:
+        if int(res.iterations) == 0:
             # Newton met ITS (capture-range) tolerance at entry without a
             # single step, so it exported the identity placeholder —
-            # useless to the polish, which would stall above the final
-            # target.  Compute one real Jacobian (the same cached program
-            # the stage would have used).
+            # useless to the polish (which would stall above the final
+            # target) AND wrong for any consumer of the returned
+            # ``jacobian`` (stability analysis eigendecomposes it).
+            # Compute one real Jacobian (the same cached program the
+            # stage would have used).
             if stage2_ncfg.fd_mode == "exact":
                 Jf = sub.setdefault("J", jax.jit(jax.jacfwd(F_acc)))
                 jac = Jf(x2, params, key)
@@ -178,18 +205,21 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                                      jit_cache=sub, F_args=(params, key))
         return pol, jac, int(res.iterations) + int(pol.iterations)
 
-    pol, jac, acc_iters = accurate_solve(handoff.astype(dt_acc))
-    if float(pol.residual_norm) > tolerance and stage1_iters > 0:
+    pol, jac, acc_iters = accurate_solve(handoff)
+    if not (float(pol.residual_norm) <= tolerance) and stage1_iters > 0:
         # Rescue pass: on rough small-ensemble landscapes the fp32 stage
         # can hand off into the wrong basin (observed at N=512, R=8 with a
         # cold guess 0.2 away in beta).  Re-solve from the CALLER'S guess
         # on the accurate backend — slower per iteration but basin-faithful
         # — and keep whichever result is deeper.  Skipped when stage 1
-        # already started there (stage1_iters == 0 fallback).
+        # already started there (stage1_iters == 0 fallback).  The guard
+        # is NaN-inclusive (`not <=`, NOT `>`): an all-rejected map
+        # returns a NaN norm, exactly the hand-off the rescue exists for.
         pol_r, jac_r, iters_r = accurate_solve(Z0.astype(dt_acc))
         acc_iters += iters_r
-        if float(pol_r.residual_norm) < float(pol.residual_norm):
-            pol, jac = pol_r, jac_r
+        nr, n0 = float(pol_r.residual_norm), float(pol.residual_norm)
+        if nr < n0 or (nr == nr and n0 != n0):  # deeper, or rescue is
+            pol, jac = pol_r, jac_r             # finite where pol is NaN
 
     # convenience handle for callers (bench's independent residual check):
     # the accurate-backend residual at THIS call's (params, key), through

@@ -64,3 +64,30 @@ def test_staged_solve_reaches_target(key):
     # higher beta -> faster wave on this family; at minimum, a different map
     # must give a measurably different root
     assert abs(float(res3.solution[0]) - float(res.solution[0])) > 1e-4
+
+
+def test_staged_guards_and_jacobian(key):
+    """Round-3 code-review fixes: cache identity is enforced, a 0-iteration
+    accurate stage still returns a REAL Jacobian (not the identity
+    placeholder — stability analysis eigendecomposes it), and "pallas"
+    resolves to the differentiable replay backend instead of crashing."""
+    import pytest
+
+    cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+    cache = {}
+    # loose target: the fp32 hand-off (~1e-5 here) already satisfies the
+    # stage-2 capture tolerance (5e-3), so the accurate stage does 0
+    # iterations — the exported Jacobian must be recomputed, not I
+    res = newton_solve_staged(cfg, params, key, Z0, tolerance=1e-3,
+                              evolve_backend="pallas",  # -> replay on CPU
+                              jit_cache=cache)
+    assert bool(res.converged)
+    assert not np.allclose(np.asarray(res.jacobian), np.eye(3), atol=1e-3)
+
+    # same cache at a different tolerance bakes a different root_tol into
+    # cfg -> must fail loudly instead of silently reusing stale programs
+    with pytest.raises(ValueError, match="jit_cache"):
+        newton_solve_staged(cfg, params, key, Z0, tolerance=1e-7,
+                            jit_cache=cache)
