@@ -27,8 +27,7 @@ import numpy as np
 
 from ..config import ModelConfig, NewtonConfig
 from ..model.emap import differentiable_backend
-from .continuation import (arclength_step, continue_branch,
-                           make_extended_residual)
+from .continuation import continue_branch, make_arclength_step_jit
 
 
 class Branch(NamedTuple):
@@ -113,9 +112,14 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     # library surface must not depend on the CLI's guard — ADVICE.md r2)
     backend = (differentiable_backend(evolve_backend)
                if ncfg.fd_mode == "exact" else evolve_backend)
-    G = jax.jit(make_extended_residual(cfg, key, fixed, param=param,
-                                       evolve_backend=backend))
-    probe = jax.jit(lambda y, t, d: arclength_step(G, y, t, d, ncfg))
+    # ONE corrector program for the whole enumeration: every walk (via
+    # jit_cache) and every end probe reuses it — the held value, param,
+    # and ncfg are identical across the worklist, so re-tracing the
+    # bordered system per branch walk (seconds on the XLA backend, ~13 s
+    # on replay) would be pure waste
+    walk_cache: dict = {}
+    probe = make_arclength_step_jit(cfg, key, fixed, param, ncfg, backend)
+    walk_cache["step"] = probe
 
     known_pts: list[np.ndarray] = []
     branches: list[Branch] = []
@@ -158,7 +162,7 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
             cfg, key, Zs, walk_beta0, sigma=walk_sigma, param=param,
             ds=ds, n_steps=n_steps, direction=direction, ncfg=ncfg,
             evolve_backend=backend, callback=cb, tangent0=tan0,
-            reject_hook=tunnels.append, **walk_kw)
+            reject_hook=tunnels.append, jit_cache=walk_cache, **walk_kw)
         if not steps:
             continue
         pts = np.stack([np.asarray(s.y) for s in steps])

@@ -129,6 +129,18 @@ def next_tangent(y_new: jax.Array, y_prev: jax.Array, old_tangent: jax.Array
     return jnp.where(jnp.dot(t, old_tangent) < 0, -t, t)
 
 
+def make_arclength_step_jit(cfg: ModelConfig, key: jax.Array, fixed,
+                            param: str, ncfg: NewtonConfig,
+                            evolve_backend: str):
+    """One jitted corrector ``(y_prev, tangent, ds) -> NewtonResult`` for a
+    walk at held parameter ``fixed`` — the shared program behind
+    :func:`continue_branch` and the enumerator's end probes."""
+    G = jax.jit(make_extended_residual(cfg, key, fixed, param=param,
+                                       evolve_backend=evolve_backend))
+    return jax.jit(lambda y_prev, tangent, ds_: arclength_step(
+        G, y_prev, tangent, ds_, ncfg))
+
+
 def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                     sigma=0.0, param: str = "beta",
                     ds: float = 0.1, n_steps: int = 100,
@@ -139,7 +151,8 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                     grow: float = 1.3, shrink: float = 0.5,
                     max_step_factor: Optional[float] = 4.0,
                     tangent0: Optional[jax.Array] = None,
-                    callback=None, reject_hook=None) -> list[ArcStep]:
+                    callback=None, reject_hook=None,
+                    jit_cache: Optional[dict] = None) -> list[ArcStep]:
     """Walk a solution branch with adaptive pseudo-arclength steps.
 
     Starts from a converged point ``(Z0, beta0)`` and returns the list of
@@ -172,10 +185,20 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                             fd_mode="exact")
     # walking beta holds sigma fixed and vice versa; the free value seeds y
     fixed, free0 = ((sigma, beta0) if param == "beta" else (beta0, sigma))
-    G = jax.jit(make_extended_residual(cfg, key, fixed, param=param,
-                                       evolve_backend=evolve_backend))
-    step_jit = jax.jit(lambda y_prev, tangent, ds_: arclength_step(
-        G, y_prev, tangent, ds_, ncfg))
+    # the held value is BAKED into the corrector program (unlike the walked
+    # one, which lives in y) — callers sharing a jit_cache across walks
+    # (the branch enumerator) must keep the whole walk setup identical
+    cache = jit_cache if jit_cache is not None else {}
+    ident = (cfg, param, float(fixed), ncfg, evolve_backend)
+    if cache.setdefault("_identity", ident) != ident:
+        raise ValueError(
+            "jit_cache was built for a different walk setup (cfg, param, "
+            "held value, ncfg, or evolve_backend differ); use a fresh "
+            "cache.")
+    if "step" not in cache:
+        cache["step"] = make_arclength_step_jit(cfg, key, fixed, param,
+                                                ncfg, evolve_backend)
+    step_jit = cache["step"]
 
     y = jnp.concatenate([jnp.asarray(Z0, dt_),
                          jnp.asarray(free0, dt_)[None]])

@@ -75,8 +75,15 @@ def null_direction(jacobian) -> np.ndarray:
 
 def solve_fold(cfg: ModelConfig, key: jax.Array, Z0, v0, beta0, sigma, *,
                ncfg: Optional[NewtonConfig] = None,
-               evolve_backend: str = "auto") -> FoldPoint:
-    """Newton-solve the extended fold system at fixed ``sigma``."""
+               evolve_backend: str = "auto",
+               jit_cache: Optional[dict] = None) -> FoldPoint:
+    """Newton-solve the extended fold system at fixed ``sigma``.
+
+    ``jit_cache``: optional dict shared across calls with the same
+    ``(cfg, key, ncfg, evolve_backend)`` — ``sigma`` is a traced argument
+    of the cached program, so a fold-curve walk (:func:`track_fold`)
+    traces and compiles the extended solve once, not once per sigma.
+    """
     if ncfg is None:
         ncfg = NewtonConfig(tolerance=1e-8, max_iterations=20,
                             fd_epsilon=1e-6, fd_mode="central")
@@ -86,15 +93,19 @@ def solve_fold(cfg: ModelConfig, key: jax.Array, Z0, v0, beta0, sigma, *,
     # keeps every other field (divergence_factor in particular) intact.
     if ncfg.fd_mode == "exact":
         ncfg = dataclasses.replace(ncfg, fd_mode="central", fd_epsilon=1e-6)
-    # H contains Jv = one first-order JVP: any differentiable backend works
-    # (xla, or the df64 replay — its scan carries the event-time IFT rule)
-    backend = differentiable_backend(evolve_backend)
-    H = make_fold_residual(cfg, key, evolve_backend=backend)
+    cache = jit_cache if jit_cache is not None else {}
+    if "solve" not in cache:
+        # H contains Jv = one first-order JVP: any differentiable backend
+        # works (xla, or the df64 replay — its scan carries the event-time
+        # IFT rule)
+        backend = differentiable_backend(evolve_backend)
+        H = make_fold_residual(cfg, key, evolve_backend=backend)
+        cache["solve"] = jax.jit(lambda w, s: newton_solve(
+            lambda ww: H(ww, s), w, ncfg))
     sigma = jnp.asarray(sigma, dt_)
     w0 = jnp.concatenate([jnp.asarray(Z0, dt_), jnp.asarray(v0, dt_),
                           jnp.asarray(beta0, dt_)[None]])
-    res = jax.jit(lambda w: newton_solve(lambda ww: H(ww, sigma), w, ncfg)
-                  )(w0)
+    res = cache["solve"](w0, sigma)
     n = cfg.n_spikes
     sol = res.solution
     return FoldPoint(sigma=float(sigma), beta=float(sol[2 * n]),
@@ -114,9 +125,10 @@ def track_fold(cfg: ModelConfig, key: jax.Array, Z0, v0, beta0,
     boundary); the returned prefix is valid."""
     out: list[FoldPoint] = []
     Z, v, beta = Z0, v0, beta0
+    cache: dict = {}  # one traced/compiled extended solve for the walk
     for sigma in sigma_values:
         pt = solve_fold(cfg, key, Z, v, beta, float(sigma), ncfg=ncfg,
-                        evolve_backend=evolve_backend)
+                        evolve_backend=evolve_backend, jit_cache=cache)
         if not (pt.converged and np.all(np.isfinite(pt.Z))
                 and np.isfinite(pt.beta)):
             break
