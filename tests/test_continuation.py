@@ -91,3 +91,23 @@ def test_arclength_in_sigma(cfg, key):
     sigmas = [float(s.y[-1]) for s in steps]
     assert sigmas[0] > 0.0 and sigmas == sorted(sigmas)
     assert all(float(s.residual_norm) < 1e-8 for s in steps)
+
+
+def test_arclength_jit_cache_reuse_and_identity_guard(cfg, key):
+    """A shared jit_cache walks twice without re-tracing (the enumerator's
+    pattern) and rejects a cache built for a different walk setup."""
+    Z0 = jnp.array([0.32623663, 0.71936722, 1.36899475], jnp.float64)
+    cache = {}
+    s1 = continue_branch(cfg, key, Z0, 13.0589, ds=0.3, n_steps=1,
+                         jit_cache=cache)
+    assert len(s1) == 1 and bool(s1[0].converged)
+    step_obj = cache["step"]
+    s2 = continue_branch(cfg, key, Z0, 13.0589, ds=0.3, n_steps=1,
+                         direction=-1.0, jit_cache=cache)
+    assert cache["step"] is step_obj          # program reused, not rebuilt
+    assert len(s2) == 1 and bool(s2[0].converged)
+    assert float(s2[0].y[-1]) < 13.0589 < float(s1[0].y[-1])
+
+    with pytest.raises(ValueError, match="jit_cache"):
+        continue_branch(cfg, key, Z0, 13.0589, sigma=0.5, n_steps=1,
+                        jit_cache=cache)      # different held value
