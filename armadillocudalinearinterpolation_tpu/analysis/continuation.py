@@ -129,6 +129,16 @@ def next_tangent(y_new: jax.Array, y_prev: jax.Array, old_tangent: jax.Array
     return jnp.where(jnp.dot(t, old_tangent) < 0, -t, t)
 
 
+def key_fingerprint(key: jax.Array) -> tuple:
+    """Hashable identity of a PRNG key (raw uint32 or typed), for cache
+    identity tuples — the key is BAKED into cached residual programs."""
+    try:
+        data = jax.random.key_data(key)
+    except TypeError:       # raw uint32 key array
+        data = key
+    return tuple(np.asarray(data).ravel().tolist())
+
+
 def make_arclength_step_jit(cfg: ModelConfig, key: jax.Array, fixed,
                             param: str, ncfg: NewtonConfig,
                             evolve_backend: str):
@@ -189,12 +199,13 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     # one, which lives in y) — callers sharing a jit_cache across walks
     # (the branch enumerator) must keep the whole walk setup identical
     cache = jit_cache if jit_cache is not None else {}
-    ident = (cfg, param, float(fixed), ncfg, evolve_backend)
+    ident = (cfg, param, float(fixed), ncfg, evolve_backend,
+             key_fingerprint(key))
     if cache.setdefault("_identity", ident) != ident:
         raise ValueError(
             "jit_cache was built for a different walk setup (cfg, param, "
-            "held value, ncfg, or evolve_backend differ); use a fresh "
-            "cache.")
+            "held value, ncfg, evolve_backend, or PRNG key differ); use "
+            "a fresh cache.")
     if "step" not in cache:
         cache["step"] = make_arclength_step_jit(cfg, key, fixed, param,
                                                 ncfg, evolve_backend)

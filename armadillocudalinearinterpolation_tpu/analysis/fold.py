@@ -35,6 +35,7 @@ import numpy as np
 from ..config import ModelConfig, MapParams, NewtonConfig
 from ..model.emap import differentiable_backend, make_residual_fn
 from ..solvers.newton import newton_solve
+from .continuation import key_fingerprint
 
 
 class FoldPoint(NamedTuple):
@@ -94,6 +95,11 @@ def solve_fold(cfg: ModelConfig, key: jax.Array, Z0, v0, beta0, sigma, *,
     if ncfg.fd_mode == "exact":
         ncfg = dataclasses.replace(ncfg, fd_mode="central", fd_epsilon=1e-6)
     cache = jit_cache if jit_cache is not None else {}
+    ident = (cfg, ncfg, evolve_backend, key_fingerprint(key))
+    if cache.setdefault("_identity", ident) != ident:
+        raise ValueError(
+            "jit_cache was built for a different fold setup (cfg, ncfg, "
+            "evolve_backend, or PRNG key differ); use a fresh cache.")
     if "solve" not in cache:
         # H contains Jv = one first-order JVP: any differentiable backend
         # works (xla, or the df64 replay — its scan carries the event-time

@@ -276,10 +276,11 @@ def _run(args) -> int:
         staged_cache = {}
 
         def solve(p, k, z):
+            # backend resolution (auto/pallas -> replay) lives in the
+            # library itself (solvers/staged.py)
             return newton_solve_staged(
                 cfg, p, k, z, tolerance=args.tol,
-                evolve_backend=("replay" if args.evolve_backend == "auto"
-                                else args.evolve_backend),
+                evolve_backend=args.evolve_backend,
                 jit_cache=staged_cache)
     else:
         # exact Jacobians differentiate through the map: the Pallas kernel

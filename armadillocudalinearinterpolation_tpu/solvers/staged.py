@@ -149,11 +149,13 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     r32 = cache["stage1"](Z0.astype(jnp.float32), params32, key)
     jax.block_until_ready(r32.solution)
     # fp32 FD Newton can blow up on rough small-ensemble landscapes; a
-    # non-finite hand-off falls back to the caller's guess AT FULL
-    # PRECISION (no f32 round-trip — a warm-started f64 sweep guess
-    # carries digits the f32 stage never saw; stage 2's exact Jacobians
-    # are the robust solver, just slower per iteration)
-    if bool(jnp.all(jnp.isfinite(r32.solution))):
+    # non-finite OR 0-iteration stage 1 falls back to the caller's guess
+    # AT FULL PRECISION (no f32 round-trip — a warm-started f64 sweep
+    # guess carries digits the f32 stage never saw, and a 0-iteration
+    # "solution" is exactly that guess rounded to f32; stage 2's exact
+    # Jacobians are the robust solver, just slower per iteration)
+    if (bool(jnp.all(jnp.isfinite(r32.solution)))
+            and int(r32.iterations) > 0):
         handoff = r32.solution.astype(dt_acc)
         stage1_iters = int(r32.iterations)
     else:
