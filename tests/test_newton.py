@@ -171,3 +171,26 @@ def test_host_solver_F_args_threading():
     assert bool(pol.converged)
     np.testing.assert_allclose(np.asarray(pol.solution), [4.0, 4.0],
                                rtol=1e-8)
+
+
+def test_host_solver_F_args_fd_modes():
+    """F_args threading through the finite-difference Jacobian paths
+    (batched central, batched forward, and serial_fd), sharing one cache."""
+    from armadillocudalinearinterpolation_tpu import (NewtonConfig,
+                                                      newton_solve_host)
+
+    def F(x, a):
+        return x * x - a
+
+    for mode, serial in (("central", False), ("forward", False),
+                         ("central", True)):
+        cache = {}
+        ncfg = NewtonConfig(tolerance=1e-11, max_iterations=30,
+                            fd_epsilon=1e-6, fd_mode=mode)
+        for a_val in (4.0, 25.0):
+            res = newton_solve_host(F, jnp.asarray([3.0, 3.0]), ncfg,
+                                    jit_cache=cache, serial_fd=serial,
+                                    F_args=(jnp.asarray([a_val, a_val]),))
+            assert bool(res.converged), (mode, serial, a_val)
+            np.testing.assert_allclose(np.asarray(res.solution),
+                                       np.sqrt([a_val, a_val]), rtol=1e-8)
