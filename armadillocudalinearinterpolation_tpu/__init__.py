@@ -35,7 +35,7 @@ from .model.emap import (
 from .solvers.criterion import residual_norm_criterion
 from .solvers.newton import (newton_solve, newton_solve_host,
                              frozen_jacobian_polish, NewtonResult)
-from .solvers.staged import newton_solve_staged
+from .solvers.staged import newton_solve_frozen, newton_solve_staged
 from .analysis.stability import (
     ProblemType,
     compute_eigenvalues,
@@ -70,6 +70,7 @@ __all__ = [
     "MapDiagnostics",
     "residual_norm_criterion",
     "newton_solve",
+    "newton_solve_frozen",
     "newton_solve_host",
     "newton_solve_staged",
     "frozen_jacobian_polish",

@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "Jacobian polish; solvers/staged.py). Reaches "
                         "f64-grade tolerances (--tol 1e-8) at ~8x the "
                         "emulated-f64 cost; requires --dtype float64")
+    p.add_argument("--stage2-fd", choices=["exact", "frozen", "central"],
+                   default="exact",
+                   help="--staged accurate-stage Jacobian mode: exact = "
+                        "jacfwd through the replay; frozen = fused residual"
+                        " + frozen-schedule central FD (jacfwd-grade to "
+                        "~3e-7, one batched (2n+1)-point replay per "
+                        "iteration instead of a jacfwd sweep; "
+                        "solvers/staged.py newton_solve_frozen); central = "
+                        "plain central FD on the full map")
     p.add_argument("--damping", type=float, default=1.0)
     p.add_argument("--quiet", action="store_true")
     # continuation (Driver.cu:86-114)
@@ -237,7 +246,10 @@ def _run(args) -> int:
             print(f"warning: {flags} ignored with --staged (the staged "
                   "recipe uses its own stage configs; see "
                   "solvers/staged.py)", file=sys.stderr)
-    elif args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
+    elif args.stage2_fd != "exact":
+        print("warning: --stage2-fd only takes effect with --staged",
+              file=sys.stderr)
+    if not args.staged and args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
         # The map's spike-index seeding quantises with the grid, so an FD
         # stencil wider than one cell straddles O(dx) staircase steps and
         # can poison the Jacobian (observed: divergence at N=1024 with the
@@ -274,12 +286,19 @@ def _run(args) -> int:
         # one cache across the sweep: (params, key) are traced arguments of
         # every cached program, so step 2 onward re-traces nothing
         staged_cache = {}
+        stage2_ncfg = None
+        if args.stage2_fd != "exact":
+            stage2_ncfg = NewtonConfig(
+                tolerance=5.0 * args.tol, max_iterations=6,
+                fd_mode=args.stage2_fd,
+                fd_epsilon=1e-5 if args.stage2_fd == "frozen" else 1e-6)
 
         def solve(p, k, z):
             # backend resolution (auto/pallas -> replay) lives in the
             # library itself (solvers/staged.py)
             return newton_solve_staged(
                 cfg, p, k, z, tolerance=args.tol,
+                stage2_ncfg=stage2_ncfg,
                 evolve_backend=args.evolve_backend,
                 jit_cache=staged_cache)
     else:

@@ -31,9 +31,129 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, MapParams, NewtonConfig
-from ..model.emap import event_driven_map, make_residual_fn
+from ..model.emap import (compute_discrete_outcome, event_driven_map,
+                          frozen_schedule_map, make_residual_fn)
+from .criterion import residual_norm_criterion
+from .linalg import solve_dense
 from .newton import (NewtonResult, frozen_jacobian_polish, newton_solve,
-                     newton_solve_host)
+                     newton_solve_host, _print_footer, _print_header,
+                     _print_iteration)
+
+
+def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
+                        x0: jax.Array, ncfg: NewtonConfig, *,
+                        jit_cache: Optional[dict] = None) -> NewtonResult:
+    """Host-driven Newton on the replay backend with a FUSED residual +
+    frozen-schedule central-FD Jacobian — jacfwd accuracy without jacfwd.
+
+    Per iteration: one f32 schedule pass at ``x`` discovers the discrete
+    outcome (firing order + seeding indices,
+    :func:`..model.emap.compute_discrete_outcome`); one batched replay
+    launch evaluates the frozen smooth piece
+    (:func:`..model.emap.frozen_schedule_map`) at the ``2n + 1`` points
+    ``[x, x ± eps e_i]`` — yielding ``F(x)`` *exactly* (same schedule) and a
+    central-FD Jacobian that matches the jacfwd-exact one to ~3e-7 relative
+    at ``eps = 1e-5`` (measured at N=512 f64; the frozen map IS the smooth
+    piece jacfwd differentiates, so the agreement is structural, not luck —
+    the earlier "FD misses the staircase" failure (ROADMAP) was an
+    ``eps = 1e-3`` artifact: at that radius the probes cross discrete-outcome
+    boundaries; at ``eps ≤ 1e-4`` they do not).
+
+    Why this beats ``fd_mode="exact"``: jacfwd through the replay scan costs
+    ~8x a forward evaluation and requires the backend to define JVPs; here
+    the Jacobian is ``2n`` *forward* replays batched into one launch (n=3:
+    7-wide — TPU-friendly width, no JVP machinery), plus the cheap f32
+    schedule pass.  Unlike :func:`..solvers.newton.newton_solve_host`, a
+    0-iteration solve still exports a REAL Jacobian (the fused launch always
+    computes one), so downstream stability analysis never sees an identity
+    placeholder.
+
+    Args:
+      cfg: model config at the accurate dtype (the replay runs df64
+        internally regardless).
+      params, key: traced map parameters / CRN key — safe to vary across
+        calls sharing ``jit_cache``.
+      x0: initial iterate.
+      ncfg: solver parameters; ``fd_epsilon`` should be ~1e-5 (set by
+        :func:`newton_solve_staged` when it routes here); ``fd_mode`` is
+        ignored (this IS the mode).
+      jit_cache: optional dict shared across calls — holds the jitted
+        schedule-pass and fused-FD programs (the replay trace is ~13 s at
+        N=4096; a sweep pays it once).
+    """
+    cache = jit_cache if jit_cache is not None else {}
+    test = residual_norm_criterion(ncfg.tolerance)
+    n = x0.shape[0]
+    dt_ = cfg.jdtype
+    # Clamp the radius into the measured-valid window (N=512 f64, relative
+    # error of the FD Jacobian vs jacfwd): eps=1e-3 crosses discrete-outcome
+    # boundaries (error ~1, the ROADMAP "staircase" failure), 1e-4 → 5e-5,
+    # 1e-5..1e-7 → ~2.5e-7 (the smooth piece's own curvature floor).  A
+    # default-config fd_epsilon (1e-2, tuned for the fp32 stage) must not
+    # leak in; below 1e-7 the df64 noise floor (~1e-13 abs) starts to bite.
+    eps = jnp.asarray(min(max(ncfg.fd_epsilon, 1e-7), 1e-4), dt_)
+    if ncfg.fd_epsilon > 1e-4 or ncfg.fd_epsilon < 1e-7:
+        eps = jnp.asarray(1e-5, dt_)
+
+    if "sched" not in cache:
+        cache["sched"] = jax.jit(
+            lambda z, p, k: compute_discrete_outcome(cfg, p, k, z))
+    if "fused" not in cache:
+        def _fused(z, ep, sched, n_ev, ii, p, k):
+            e = ep * jnp.eye(n, dtype=dt_)
+            pts = jnp.concatenate([z[None, :], z[None, :] + e,
+                                   z[None, :] - e])        # (2n+1, n)
+            vals = jax.vmap(lambda zz: frozen_schedule_map(
+                cfg, p, k, zz, sched, n_ev, ii))(pts)
+            f = vals[0]
+            jac = (vals[1:n + 1] - vals[n + 1:]).T / (2.0 * ep)
+            return f, jac
+        cache["fused"] = jax.jit(_fused)
+
+    def evaluate(z, ep):
+        sched, n_ev, ii = cache["sched"](z, params, key)
+        return cache["fused"](z, ep, sched, n_ev, ii, params, key)
+
+    if ncfg.print_output:
+        _print_header(ncfg.max_iterations, ncfg.tolerance)
+
+    x = x0.astype(dt_)
+    f, jac = evaluate(x, eps)
+    # a probe that pushes a realisation across a fire/no-fire boundary gets
+    # rejected by the replay's consistency guard and poisons its FD column
+    # (NaN when every realisation drops); one retry at a tighter radius
+    # stays inside the smooth piece
+    if not bool(jnp.all(jnp.isfinite(jac))):
+        f, jac = evaluate(x, eps / 8.0)
+    norm = jnp.linalg.norm(f)
+    history = [float(norm)]
+    if ncfg.print_output:
+        _print_iteration(0, norm)
+    converged = bool(test(norm))
+    it = 0
+
+    while it < ncfg.max_iterations and not converged:
+        direction = solve_dense(jac, -f)
+        x = x + jnp.asarray(ncfg.damping, dt_) * direction
+        f_new, jac_new = evaluate(x, eps)
+        if not bool(jnp.all(jnp.isfinite(jac_new))):
+            f_new, jac_new = evaluate(x, eps / 8.0)
+        f, jac = f_new, jac_new
+        norm = jnp.linalg.norm(f)
+        it += 1
+        history.append(float(norm))
+        if ncfg.print_output:
+            _print_iteration(it, norm)
+        converged = bool(test(norm))
+
+    if ncfg.print_output:
+        _print_footer(it, converged)
+
+    hist = jnp.full((ncfg.max_iterations + 1,), jnp.nan, dt_)
+    hist = hist.at[:len(history)].set(jnp.asarray(history, dt_))
+    return NewtonResult(solution=x, converged=jnp.asarray(converged),
+                        iterations=jnp.int32(it), residual_norm=norm,
+                        residual_history=hist, jacobian=jac, residual=f)
 
 
 def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
@@ -59,7 +179,12 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         of central FD at the f32-appropriate epsilon 1e-3.
       stage2_ncfg: df64 stage config; default exact-Jacobian mode with
         ``stage2_tolerance`` (capture-range staging, see module
-        docstring).  Pass ``fd_mode="central"`` here to avoid jacfwd.
+        docstring).  Pass ``fd_mode="frozen"`` to route the stage through
+        :func:`newton_solve_frozen` — fused residual + frozen-schedule FD
+        Jacobian in one batched launch, jacfwd-grade accuracy (~3e-7
+        relative agreement) at a fraction of the cost and with no JVP
+        requirement; ``fd_mode="central"`` for plain central FD on the
+        full map.
       stage2_tolerance: override for the stage-2 stopping norm
         (default ``5 * tolerance``).
       polish_iterations: frozen-Jacobian polish budget (each is one map
@@ -176,8 +301,17 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     def accurate_solve(x_start):
         """df64 Newton + frozen-Jacobian polish from ``x_start``; returns
         ``(pol, jac, iters)`` with every program drawn from ``sub``."""
-        res = newton_solve_host(F_acc, x_start, stage2_ncfg,
-                                jit_cache=sub, F_args=(params, key))
+        if stage2_ncfg.fd_mode == "frozen":
+            # fused residual + frozen-schedule FD Jacobian (one schedule
+            # pass + one (2n+1)-wide batched replay per iteration); its
+            # residual IS the replay residual, consistent with the polish
+            # below when evolve_backend == "replay" (the default — "auto"/
+            # "pallas" resolve there above)
+            res = newton_solve_frozen(cfg, params, key, x_start,
+                                      stage2_ncfg, jit_cache=sub)
+        else:
+            res = newton_solve_host(F_acc, x_start, stage2_ncfg,
+                                    jit_cache=sub, F_args=(params, key))
         # a diverged Newton stage (non-finite iterate) must not poison the
         # polish: restart it from x_start with the exported Jacobian
         # (evaluated before the divergence)
@@ -185,7 +319,9 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         if not bool(jnp.all(jnp.isfinite(x2))):
             x2 = x_start
         jac = res.jacobian
-        if int(res.iterations) == 0:
+        if int(res.iterations) == 0 and stage2_ncfg.fd_mode != "frozen":
+            # (frozen mode is exempt: its fused launch always computes a
+            # real Jacobian, even on a 0-iteration solve)
             # Newton met ITS (capture-range) tolerance at entry without a
             # single step, so it exported the identity placeholder —
             # useless to the polish (which would stall above the final

@@ -11,9 +11,69 @@ import numpy as np
 
 from armadillocudalinearinterpolation_tpu import (
     ModelConfig, MapParams, NewtonConfig, make_residual_fn, newton_solve,
-    newton_solve_staged)
+    newton_solve_frozen, newton_solve_staged)
 
 Z0 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float64)
+
+
+def test_frozen_fd_matches_jacfwd_and_solves(key):
+    """The frozen-schedule fused FD Jacobian is jacfwd-grade.
+
+    Freezing the discrete outcome (firing schedule + seeding indices) and
+    central-differencing the surrounding smooth piece at eps <= 1e-4 must
+    reproduce the jacfwd-exact Jacobian: the frozen map IS the function the
+    replay's stop_gradient makes jacfwd differentiate.  (The earlier
+    ROADMAP-recorded "FD misses the staircase" failure was an eps = 1e-3
+    artifact — at that radius probes cross discrete-outcome boundaries.)
+    """
+    from armadillocudalinearinterpolation_tpu.model.emap import (
+        compute_discrete_outcome, frozen_schedule_map)
+
+    cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+
+    F = make_residual_fn(cfg, params, key, evolve_backend="replay")
+    J_exact = jax.jit(jax.jacfwd(F))(Z0)
+
+    sched, n_ev, ii = jax.jit(
+        lambda z: compute_discrete_outcome(cfg, params, key, z))(Z0)
+    Ff = jax.jit(lambda z: frozen_schedule_map(cfg, params, key, z,
+                                               sched, n_ev, ii))
+    # the frozen map equals the full replay map AT the freezing point
+    np.testing.assert_allclose(np.asarray(Ff(Z0)), np.asarray(F(Z0)),
+                               rtol=0, atol=1e-12)
+    eps = 1e-5
+    cols = []
+    for i in range(3):
+        e = jnp.zeros_like(Z0).at[i].set(eps)
+        cols.append((Ff(Z0 + e) - Ff(Z0 - e)) / (2 * eps))
+    J_fd = jnp.stack(cols, axis=1)
+    rel = float(jnp.max(jnp.abs(J_fd - J_exact)) / jnp.max(jnp.abs(J_exact)))
+    assert rel < 1e-5, rel
+
+    # the standalone fused solver converges and its root checks out through
+    # an independent (cache-free) replay oracle
+    res = newton_solve_frozen(
+        cfg, params, key, Z0,
+        NewtonConfig(tolerance=1e-7, max_iterations=8, fd_mode="frozen",
+                     fd_epsilon=1e-5))
+    assert bool(res.converged)
+    assert int(res.iterations) <= 6
+    assert float(jnp.linalg.norm(F(res.solution))) <= 1.5e-7
+    # a 0-iteration re-solve from the root still exports a REAL Jacobian
+    res0 = newton_solve_frozen(
+        cfg, params, key, res.solution,
+        NewtonConfig(tolerance=1e-6, max_iterations=8, fd_mode="frozen",
+                     fd_epsilon=1e-5))
+    assert int(res0.iterations) == 0
+    assert not np.allclose(np.asarray(res0.jacobian), np.eye(3), atol=1e-3)
+    # ... and that Jacobian is jacfwd-grade AT the root (same traced program
+    # as J_exact, new point)
+    J_root = jax.jit(jax.jacfwd(F))(res.solution)
+    rel0 = float(jnp.max(jnp.abs(res0.jacobian - J_root))
+                 / jnp.max(jnp.abs(J_root)))
+    assert rel0 < 1e-5, rel0
 
 
 def test_staged_solve_reaches_target(key):
