@@ -105,6 +105,83 @@ def _mexhat_df(dist32: jax.Array, cfg: ModelConfig) -> D.DF:
     return _cmul(w, cfg.dx)
 
 
+class _KickTables(NamedTuple):
+    """Separable df64 factors of the ring-coupling exponentials.
+
+    ``exp(-b * d_ring(i, j) * dx)`` was the replay's dominant per-event cost:
+    two full (R, N) df64 exponentials (~650 flops/element each, ~60% of the
+    loop body).  But the exponent is a *difference of per-lane coordinates*,
+    so it factors::
+
+        e^{-b |x_i - x_j|}        = A_i B_j  if i >= j  else  B_i A_j
+        e^{-b (L2 - |x_i - x_j|)} = CB_i A_j if i >= j  else  CA_i B_j
+        e^{-b d_ring}             = max(of the two)          (b > 0)
+
+    with ``A = e^{-b x}``, ``B = e^{+b x}``, ``CA/CB = e^{-b L2} * A/B``,
+    all four precomputed ONCE per table (full-precision :func:`D.exp` on the
+    df64-exact ``x_i = i * dx``).  Per event the kick then costs two df64
+    multiplies + selects per decay rate instead of an exponential — ~4x
+    less VPU work for the kick, ~2x for the whole event body.  Accuracy:
+    each factor carries the exp's ~2^-47, the product adds one rounding —
+    ~2^-46 per kick vs ~2^-47 direct (both far inside the replay's 1e-10
+    contract; exactness test in tests/test_replay.py).  Range: ``B`` tops
+    out at ``e^{b1 * 2L} = e^30 ~ 1e13``, comfortably inside f32.
+    """
+
+    A1: D.DF   # (N,) e^{-b1 x}
+    B1: D.DF   # (N,) e^{+b1 x}
+    CA1: D.DF  # (N,) e^{-b1 L2} * A1
+    CB1: D.DF  # (N,) e^{-b1 L2} * B1
+    A2: D.DF
+    B2: D.DF
+    CA2: D.DF
+    CB2: D.DF
+
+
+def _build_kick_tables(cfg: ModelConfig) -> _KickTables:
+    lane = jnp.arange(cfg.n_neurons, dtype=jnp.float32)
+    # x_i = i * dx as a full df64 product: dx need not be exactly
+    # f32-representable (it is for power-of-two N with L = 3, but the
+    # tables must not silently lose grade on other grids)
+    x = D.mul(D.df(lane), D.df_const(cfg.dx))
+    L2 = cfg.n_neurons * cfg.dx
+
+    def tables(b: float):
+        A = D.exp(D.mul(x, D.df_const(-b)))
+        B = D.exp(D.mul(x, D.df_const(b)))
+        C = D.exp(D.df_const(-b * L2))
+        return A, B, D.mul(C, A), D.mul(C, B)
+
+    A1, B1, CA1, CB1 = tables(cfg.b1)
+    A2, B2, CA2, CB2 = tables(cfg.b2)
+    return _KickTables(A1, B1, CA1, CB1, A2, B2, CA2, CB2)
+
+
+def _kick_weight_df(tabs: _KickTables, j: jax.Array, lane: jax.Array,
+                    cfg: ModelConfig) -> D.DF:
+    """``w(d_ring(i, j)) * dx`` for all lanes ``i``, firing lane ``j`` per
+    row — the separable-table evaluation of :func:`_mexhat_df`."""
+    ge = lane >= j[:, None]                                  # (R, N)
+
+    def gather(t: D.DF) -> D.DF:
+        return D.DF(t.hi[j][:, None], t.lo[j][:, None])     # (R, 1)
+
+    def ering(A, B, CA, CB):
+        Aj, Bj = gather(A), gather(B)
+        direct = D.mul(D.where(ge, D.DF(A.hi[None], A.lo[None]),
+                               D.DF(B.hi[None], B.lo[None])),
+                       D.where(ge, Bj, Aj))                  # e^{-b u}
+        wrap = D.mul(D.where(ge, D.DF(CB.hi[None], CB.lo[None]),
+                             D.DF(CA.hi[None], CA.lo[None])),
+                     D.where(ge, Aj, Bj))                    # e^{-b (L2-u)}
+        return D.where(D.greater(direct, wrap), direct, wrap)
+
+    e1 = ering(tabs.A1, tabs.B1, tabs.CA1, tabs.CB1)
+    e2 = ering(tabs.A2, tabs.B2, tabs.CA2, tabs.CB2)
+    w = D.sub(_cmul(e1, cfg.a1), _cmul(e2, cfg.a2))
+    return _cmul(w, cfg.dx)
+
+
 def _membrane_df(t: D.DF, v0: D.DF, s0: D.DF, beta: D.DF, inv1mb: D.DF,
                  cfg: ModelConfig) -> D.DF:
     """df64 membrane residual ``v(t) - vth`` in the shared-exponential form
@@ -112,8 +189,8 @@ def _membrane_df(t: D.DF, v0: D.DF, s0: D.DF, beta: D.DF, inv1mb: D.DF,
     ``e_t = exp(-t)``, ``e_b = exp(-beta t)`` (algebraically equal to
     ``membrane_fun``, ``EventDrivenMap.cu:544-547``, but with one shared
     decay factor so the advance below reuses ``e_b``)."""
-    e_t = D.exp(D.neg(t))
-    e_b = D.exp(D.neg(D.mul(beta, t)))
+    e_t = D.exp_fast(D.neg(t))
+    e_b = D.exp_fast(D.neg(D.mul(beta, t)))
     acc = D.mul(v0, e_t)
     acc = D.add(acc, _cmul(D.sub(D.df_const(1.0), e_t), cfg.drive))
     acc = D.add(acc, D.mul(D.mul(s0, D.sub(e_b, e_t)), inv1mb))
@@ -159,6 +236,7 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
     lane = jnp.arange(N, dtype=jnp.int32)[None, :]
     rows = jnp.arange(R)
     T_df = D.df_const(cfg.t_horizon)
+    tabs = _build_kick_tables(cfg)
 
     init = _DFCarry(
         v_hi=v_init.hi, v_lo=v_init.lo, s_hi=s_init.hi, s_lo=s_init.lo,
@@ -204,13 +282,13 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         # --- advance all N lanes by dt (closed form; ONE (R,N) df-exp
         # for the membrane/synapse shared decay, two for the kick) --------
         dt_row = dt
-        e_t = D.exp(D.neg(dt_row))                        # (R,) df
+        e_t = D.exp_fast(D.neg(dt_row))                   # (R,) df
         e_t2 = D.DF(e_t.hi[:, None], e_t.lo[:, None])     # (R,1)
         # full error-free product: dropping the hi*hi rounding term here
         # (measured) leaks ~8e-9 absolute per event into e_b and the times
         # drift to ~1e-6 over a trajectory — two_prod is not optional
         bdt = D.mul(beta_df, D.DF(dt_row.hi[:, None], dt_row.lo[:, None]))
-        e_b = D.exp(D.neg(bdt))                           # (R,N)
+        e_b = D.exp_fast(D.neg(bdt))                      # (R,N)
 
         v_adv = D.mul(v, e_t2)
         v_adv = D.add(v_adv, _cmul(D.sub(D.df_const(1.0), e_t2), cfg.drive))
@@ -218,9 +296,7 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         fired = lane == j[:, None]
         v_new = D.where(fired, D.df_const(0.0, (1, 1)), v_adv)
 
-        d = jnp.abs(lane - j[:, None]).astype(jnp.float32)
-        dist = jnp.minimum(d, jnp.float32(N) - d) * jnp.float32(cfg.dx)
-        kick = D.mul(beta_df, _mexhat_df(dist, cfg))
+        kick = D.mul(beta_df, _kick_weight_df(tabs, j, lane, cfg))
         s_new = D.add(D.mul(s, e_b), kick)
         t_new = D.add(t, dt_row)
 

@@ -238,6 +238,40 @@ def exp(a: Like) -> DF:
     return scale_pow2(p, m)
 
 
+def exp_fast(a: Like) -> DF:
+    """df64 exp with a plain-f32 Horner tail — ~1.6x cheaper than :func:`exp`.
+
+    After range reduction ``|r| <= ln2/2``, the Taylor terms ``k >= 8``
+    contribute at most ``0.347^8/8! ~ 5e-9`` *relative* to the result, so
+    they only need ~1e-7 accuracy themselves: the tail ``k = 8..13`` runs as
+    a plain f32 Horner (6 mul+add instead of 6 df64 pairs at ~47 flops
+    each), and the df64 Horner picks up at ``k = 7``.  Worst-case extra
+    error vs :func:`exp` is ~7e-16 relative (tail value ~2.5e-5 with f32
+    rounding ~2.5e-12, scaled by ``r^6 * r^2``) — below the pair's own
+    2^-47.  Validated against numpy double in ``tests/test_df64.py``.
+
+    Use where the exponential sits inside a longer df64 computation (the
+    replay's per-event decays); keep :func:`exp` for one-shot table builds
+    where the extra margin is free.
+    """
+    a = _as_df(a)
+    m = jnp.round(a.hi * jnp.float32(1.0 / _LN2))
+    ln2 = df_const(_LN2)
+    r = add(a, neg(mul_f32(ln2, m)))     # |r| <= ln2/2 + tiny
+
+    # f32 tail: sum_{k=8..13} r^(k-8)/k!  (Horner on the hi word only)
+    rh = r.hi
+    p32 = jnp.asarray(_INV_FACT[-1], _F32)
+    for c in reversed(_INV_FACT[6:-1]):      # 1/12! .. 1/8!
+        p32 = p32 * rh + jnp.asarray(c, _F32)
+    # df64 Horner k = 7..2, seeded by the f32 tail
+    p = df(p32)
+    for c in reversed(_INV_FACT[:6]):        # 1/7! .. 1/2!
+        p = add(mul(p, r), df_const(c))
+    p = add(add(df_const(1.0), r), mul(mul(r, r), p))
+    return scale_pow2(p, m)
+
+
 def exp_neg_prod(b: DF, t: DF) -> DF:
     """``exp(-b * t)`` — the map's workhorse form (synaptic decay)."""
     return exp(neg(mul(b, t)))

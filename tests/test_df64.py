@@ -57,6 +57,21 @@ def test_exp_jit(samples):
     assert _relerr(e, np.exp(x)) < 1e-12
 
 
+def test_exp_fast_jit(samples):
+    """exp_fast (f32 Horner tail) must keep full df64 grade — the tail
+    terms it demotes contribute < 6e-9 relative, so its extra error vs
+    exp is ~7e-16, invisible at the 1e-12 assertion."""
+    x, _ = samples
+    xd = D.from_f64(jnp.asarray(x))
+    e = jax.jit(lambda a: D.to_f64(D.exp_fast(a)))(xd)
+    assert _relerr(e, np.exp(x)) < 1e-12
+    # the replay's operating range: decay exponents -beta*dt in [-3, 0]
+    y = np.linspace(-3.0, 0.0, 4097)
+    ey = jax.jit(lambda a: D.to_f64(D.exp_fast(D.from_f64(a))))(
+        jnp.asarray(y))
+    assert _relerr(np.asarray(ey), np.exp(y)) < 1e-13
+
+
 def test_jit_constant_reassociation_guard():
     """add(const, x) must keep its error term under jit (the XLA literal-
     reassociation regression the df_const barrier exists for)."""
