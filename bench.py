@@ -415,9 +415,35 @@ def bench_newton_1e8():
     F64 = jits["F_acc_fn"]
     d_emu = float(jnp.max(jnp.abs(F_emu(pol.solution)
                                   - F64(pol.solution))))
+
+    # Frozen-schedule fused-FD variant (solvers/staged.py
+    # newton_solve_frozen): replaces stage 2's jacfwd (~8x a forward eval)
+    # with ONE batched 7-point frozen-outcome replay per iteration.
+    # Measured to decide the staged default; fail-soft so a compile issue
+    # here never takes down the exact-mode numbers above.
+    t_frozen = norm_frozen = None
+    try:
+        from armadillocudalinearinterpolation_tpu import NewtonConfig
+        ncfg_f = NewtonConfig(tolerance=5e-8, max_iterations=6,
+                              fd_mode="frozen", fd_epsilon=1e-5)
+        jits_f = {}
+        pol_fc = newton_solve_staged(cfg64, params64, key, Z0,
+                                     tolerance=1e-8, stage2_ncfg=ncfg_f,
+                                     jit_cache=jits_f)
+        t0 = time.perf_counter()
+        pol_f = newton_solve_staged(cfg64, params64, key,
+                                    Z0 + jnp.float32(1e-3),
+                                    tolerance=1e-8, stage2_ncfg=ncfg_f,
+                                    jit_cache=jits_f)
+        t_frozen = time.perf_counter() - t0
+        norm_frozen = max(float(pol_f.residual_norm),
+                          float(pol_fc.residual_norm))
+    except Exception as e:
+        norm_frozen = "error: " + str(e)[:160]
+
     return (t_solve, t_cold, iters,
             max(float(pol.residual_norm), float(pol_cold.residual_norm)),
-            d_emu)
+            d_emu, t_frozen, norm_frozen)
 
 
 def bench_sweep_100pt():
@@ -583,12 +609,16 @@ def main():
 
     try:
         _stage("newton_1e8")
-        t_solve, t_cold, iters, norm, d_emu = bench_newton_1e8()
+        (t_solve, t_cold, iters, norm, d_emu,
+         t_frozen, norm_frozen) = bench_newton_1e8()
         extras["newton_N4096_s"] = round(t_solve, 2)
         extras["newton_N4096_cold_s"] = round(t_cold, 2)
         extras["newton_iters"] = iters
         extras["newton_final_norm"] = norm
         extras["replay_vs_f64emu_residual_delta"] = d_emu
+        if t_frozen is not None:
+            extras["newton_frozen_N4096_s"] = round(t_frozen, 2)
+        extras["newton_frozen_final_norm"] = norm_frozen
     except Exception as e:
         extras["newton_error"] = str(e)[:200]
 
