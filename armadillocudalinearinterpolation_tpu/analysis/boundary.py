@@ -210,6 +210,13 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
         # overshoot never recovers within these budgets)
         import dataclasses
         ncfg = dataclasses.replace(ncfg, divergence_factor=1e4)
+    if ncfg.fd_mode == "frozen":
+        # the frozen corrector evaluates the df64 REPLAY's smooth piece,
+        # which this module deliberately avoids (the replay regularises
+        # grazing transitions — see the backend pinning below); resolve to
+        # exact mode on the f64-exact path instead
+        import dataclasses
+        ncfg = dataclasses.replace(ncfg, fd_mode="exact")
     if ncfg.fd_mode == "exact":
         # exact mode jacfwds the map; the Pallas kernel has no JVP
         # (round-2 advisor finding: the library surface must pin this

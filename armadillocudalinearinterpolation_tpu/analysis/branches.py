@@ -118,7 +118,12 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     # bordered system per branch walk (seconds on the XLA backend, ~13 s
     # on replay) would be pure waste
     walk_cache: dict = {}
-    probe = make_arclength_step_jit(cfg, key, fixed, param, ncfg, backend)
+    if ncfg.fd_mode == "frozen":
+        from .continuation import make_arclength_step_frozen
+        probe = make_arclength_step_frozen(cfg, key, fixed, param, ncfg)
+    else:
+        probe = make_arclength_step_jit(cfg, key, fixed, param, ncfg,
+                                        backend)
     walk_cache["step"] = probe
 
     known_pts: list[np.ndarray] = []

@@ -139,6 +139,113 @@ def key_fingerprint(key: jax.Array) -> tuple:
     return tuple(np.asarray(data).ravel().tolist())
 
 
+def _params_of(param: str, p, fixed, dt_):
+    p = jnp.asarray(p, dt_)
+    fixed = jnp.asarray(fixed, dt_)
+    return (MapParams(beta=p, sigma=fixed) if param == "beta"
+            else MapParams(beta=fixed, sigma=p))
+
+
+def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
+                               param: str, ncfg: NewtonConfig):
+    """Host-driven bordered corrector with a fused frozen-outcome FD
+    Jacobian — drop-in for :func:`make_arclength_step_jit` when
+    ``ncfg.fd_mode == "frozen"``.
+
+    Per corrector iteration: one f32 schedule pass at the current ``y``
+    discovers the discrete outcome, then ONE batched ``(2(n+1) + 1)``-point
+    frozen replay (:func:`..model.emap.frozen_schedule_map`) yields the map
+    residual and central-FD partials in BOTH ``Z`` and the walked parameter
+    (the heterogeneity draw is frozen noise under common random numbers, so
+    the parameter direction is smooth in the same piece).  The frozen map
+    is the function jacfwd-through-the-replay differentiates, so the
+    bordered Jacobian is jacfwd-grade (~5e-7 relative at eps = 1e-5,
+    measured up to sigma = 0.5; tests/test_staged.py) at a fraction of the
+    jacfwd cost and with no JVP requirement.  The arclength row is exact:
+    its Jacobian row IS the tangent.
+
+    The evolve backend is implicit (the frozen map evaluates the df64
+    replay); the outer loop runs on the host with one short device program
+    per step — the same bounded-dispatch rationale as
+    :func:`..solvers.newton.newton_solve_host`.
+    """
+    from ..model.emap import compute_discrete_outcome, frozen_schedule_map
+    from ..solvers.criterion import residual_norm_criterion
+    from ..solvers.linalg import solve_dense
+
+    dt_ = cfg.jdtype
+    n1 = cfg.n_spikes + 1
+    # radius clamp: same measured-valid window as newton_solve_frozen
+    # (eps = 1e-3 crosses discrete-outcome boundaries; > 1e-4 degrades)
+    eps_f = ncfg.fd_epsilon
+    eps_f = 1e-5 if (eps_f > 1e-4 or eps_f < 1e-7) else eps_f
+    test = residual_norm_criterion(ncfg.tolerance)
+
+    @jax.jit
+    def sched_at(y):
+        params = _params_of(param, y[-1], fixed, dt_)
+        return compute_discrete_outcome(cfg, params, key, y[:-1])
+
+    @jax.jit
+    def fused(y, ep, y_prev, tangent, ds, sched, n_ev, ii):
+        e = ep * jnp.eye(n1, dtype=dt_)
+        pts = jnp.concatenate([y[None, :], y[None, :] + e,
+                               y[None, :] - e])              # (2n1+1, n1)
+
+        def evalF(yy):
+            params = _params_of(param, yy[-1], fixed, dt_)
+            return frozen_schedule_map(cfg, params, key, yy[:-1],
+                                       sched, n_ev, ii)
+
+        Fv = jax.vmap(evalF)(pts)                            # (2n1+1, n)
+        JF = (Fv[1:n1 + 1] - Fv[n1 + 1:]).T / (2.0 * ep)     # (n, n1)
+        arc = jnp.dot(y - y_prev, tangent) - ds
+        G = jnp.concatenate([Fv[0], arc[None].astype(Fv.dtype)])
+        J = jnp.concatenate([JF, tangent[None, :]], axis=0)  # (n1, n1)
+        return G, J
+
+    def step(y_prev, tangent, ds) -> NewtonResult:
+        y_prev = jnp.asarray(y_prev, dt_)
+        tangent = jnp.asarray(tangent, dt_)
+        ds = jnp.asarray(ds, dt_)
+        ep = jnp.asarray(eps_f, dt_)
+        y = y_prev + ds * tangent                            # Euler predictor
+
+        def evaluate(yy, e_):
+            sched, n_ev, ii = sched_at(yy)
+            return fused(yy, e_, y_prev, tangent, ds, sched, n_ev, ii)
+
+        G, J = evaluate(y, ep)
+        if not bool(jnp.all(jnp.isfinite(J))):
+            G, J = evaluate(y, ep / 8.0)
+        norm = jnp.linalg.norm(G)
+        norm0 = norm
+        history = [float(norm)]
+        converged = bool(test(norm))
+        it = 0
+        while it < ncfg.max_iterations and not converged:
+            if (ncfg.divergence_factor != float("inf")
+                    and not (float(norm)
+                             <= ncfg.divergence_factor * float(norm0))):
+                break    # runaway corrector (NaN-inclusive): stop paying
+            y = y + jnp.asarray(ncfg.damping, dt_) * solve_dense(J, -G)
+            G, J = evaluate(y, ep)
+            if not bool(jnp.all(jnp.isfinite(J))):
+                G, J = evaluate(y, ep / 8.0)
+            norm = jnp.linalg.norm(G)
+            it += 1
+            history.append(float(norm))
+            converged = bool(test(norm))
+
+        hist = jnp.full((ncfg.max_iterations + 1,), jnp.nan, dt_)
+        hist = hist.at[:len(history)].set(jnp.asarray(history, dt_))
+        return NewtonResult(solution=y, converged=jnp.asarray(converged),
+                            iterations=jnp.int32(it), residual_norm=norm,
+                            residual_history=hist, jacobian=J, residual=G)
+
+    return step
+
+
 def make_arclength_step_jit(cfg: ModelConfig, key: jax.Array, fixed,
                             param: str, ncfg: NewtonConfig,
                             evolve_backend: str):
@@ -207,8 +314,14 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
             "held value, ncfg, evolve_backend, or PRNG key differ); use "
             "a fresh cache.")
     if "step" not in cache:
-        cache["step"] = make_arclength_step_jit(cfg, key, fixed, param,
-                                                ncfg, evolve_backend)
+        if ncfg.fd_mode == "frozen":
+            # fused frozen-outcome FD corrector (host loop, replay map);
+            # evolve_backend is implicit there
+            cache["step"] = make_arclength_step_frozen(cfg, key, fixed,
+                                                       param, ncfg)
+        else:
+            cache["step"] = make_arclength_step_jit(cfg, key, fixed, param,
+                                                    ncfg, evolve_backend)
     step_jit = cache["step"]
 
     y = jnp.concatenate([jnp.asarray(Z0, dt_),

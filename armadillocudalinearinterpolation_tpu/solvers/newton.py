@@ -127,6 +127,19 @@ def print_iteration_table(result: "NewtonResult", cfg: NewtonConfig) -> None:
     _print_footer(result.iterations, result.converged)
 
 
+def _check_fd_mode(cfg: NewtonConfig) -> None:
+    """Unknown modes must fail loudly: an unrecognised ``fd_mode`` would
+    silently take the forward-FD branch — in particular ``"frozen"``, which
+    only the map-aware entry points implement (``staged.newton_solve_frozen``
+    / ``continuation.make_arclength_step_frozen``)."""
+    if cfg.fd_mode not in ("forward", "central", "exact"):
+        raise ValueError(
+            f"fd_mode {cfg.fd_mode!r} is not supported by the generic "
+            "Newton solvers (use 'forward', 'central' or 'exact'; "
+            "'frozen' lives in solvers.staged.newton_solve_frozen and "
+            "analysis.continuation.make_arclength_step_frozen)")
+
+
 def newton_solve(
     F: Callable[[jax.Array], jax.Array],
     x0: jax.Array,
@@ -151,6 +164,7 @@ def newton_solve(
     """
     test = criterion if criterion is not None else residual_norm_criterion(
         cfg.tolerance)
+    _check_fd_mode(cfg)
     n = x0.shape[0]
     dt_ = x0.dtype
 
@@ -269,6 +283,7 @@ def newton_solve_host(
     """
     test = criterion if criterion is not None else residual_norm_criterion(
         cfg.tolerance)
+    _check_fd_mode(cfg)
     n = x0.shape[0]
     dt_ = x0.dtype
     cache = jit_cache if jit_cache is not None else {}

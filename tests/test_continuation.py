@@ -111,3 +111,38 @@ def test_arclength_jit_cache_reuse_and_identity_guard(cfg, key):
     with pytest.raises(ValueError, match="jit_cache"):
         continue_branch(cfg, key, Z0, 13.0589, sigma=0.5, n_steps=1,
                         jit_cache=cache)      # different held value
+
+
+def test_arclength_frozen_corrector_matches_exact(cfg, key):
+    """fd_mode="frozen" routes the walk through the fused frozen-outcome FD
+    corrector (one schedule pass + one batched 9-point replay per corrector
+    iteration, no jacfwd).  On the same branch it must accept the same
+    points as the exact-mode corrector to deep agreement — the frozen map
+    is the smooth piece exact mode differentiates."""
+    Z0 = jnp.array([0.32623663, 0.71936722, 1.36899475], jnp.float64)
+    ncfg_x = NewtonConfig(tolerance=1e-9, max_iterations=12, fd_mode="exact")
+    ncfg_f = NewtonConfig(tolerance=1e-9, max_iterations=12,
+                          fd_mode="frozen", fd_epsilon=1e-5)
+    ref = continue_branch(cfg, key, Z0, 13.0589, ds=0.3, n_steps=2,
+                          ncfg=ncfg_x, evolve_backend="replay")
+    froz = continue_branch(cfg, key, Z0, 13.0589, ds=0.3, n_steps=2,
+                           ncfg=ncfg_f)
+    assert len(froz) == len(ref) == 2
+    for a, b in zip(froz, ref):
+        assert bool(a.converged)
+        assert float(a.residual_norm) <= 1e-9
+        np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y),
+                                   atol=5e-8)
+
+
+def test_generic_solvers_reject_frozen_mode():
+    """fd_mode="frozen" must fail loudly in the generic solvers instead of
+    silently taking the forward-FD branch."""
+    from armadillocudalinearinterpolation_tpu import (newton_solve,
+                                                      newton_solve_host)
+    F = lambda x: x * x - 2.0
+    ncfg = NewtonConfig(tolerance=1e-9, max_iterations=5, fd_mode="frozen")
+    with pytest.raises(ValueError, match="frozen"):
+        newton_solve(F, jnp.ones((1,)), ncfg)
+    with pytest.raises(ValueError, match="frozen"):
+        newton_solve_host(F, jnp.ones((1,)), ncfg)

@@ -39,14 +39,22 @@ def test_shard_map_heterogeneous_deterministic(key, z_ref, mesh8):
 def test_shard_map_honors_replay_backend(key, z_ref, mesh8):
     """evolve_backend="replay" must actually run the df64 replay per shard
     (it used to be silently dropped -> plain cfg-dtype XLA evolve); at
-    sigma=0 the sharded replay must match the unsharded replay exactly."""
+    sigma=0 the sharded replay must match the unsharded replay exactly.
+
+    The unsharded reference is JITTED: XLA's whole-program simplifier
+    rewrites some df64 chain that eager op-by-op dispatch leaves alone
+    (measured drift ~5e-13 in crossing times, within the replay's
+    contract), while shard_map-vs-plain-jit replay times agree BITWISE —
+    so compiled-vs-compiled is the apples-to-apples comparison, leaving
+    only the ensemble mean's reduction order (psum tree vs flat sum)."""
     cfg = ModelConfig(n_neurons=512, n_real=16, dtype="float64")
     params = MapParams.create(13.0589, 0.0, dtype="float64")
     F = jax.jit(make_shard_map_residual_fn(cfg, params, key, mesh8,
                                            evolve_backend="replay"))
     f_s = np.asarray(F(z_ref))
-    f_rep = np.asarray(event_driven_map(cfg, params, key, z_ref,
-                                        evolve_backend="replay"))
+    f_rep = np.asarray(jax.jit(
+        lambda z: event_driven_map(cfg, params, key, z,
+                                   evolve_backend="replay"))(z_ref))
     f_xla = np.asarray(event_driven_map(cfg, params, key, z_ref))
     np.testing.assert_allclose(f_s, f_rep, rtol=0, atol=1e-13)
     # and it really is the replay, not the f64 XLA path: the two backends
