@@ -238,6 +238,23 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
     T_df = D.df_const(cfg.t_horizon)
     tabs = _build_kick_tables(cfg)
 
+    # Anchor/delta split of the synaptic decay exponent (the (R, N) df64
+    # exp(-beta dt) was ~85% of the replay body — profiled by stubbing):
+    #   exp(-beta dt) = exp(-anchor dt) * exp(-delta dt),
+    # anchor = each row's lane-0 beta (both words, so delta == 0 EXACTLY
+    # in the homogeneous sigma = 0 case), delta = beta - anchor fixed
+    # through the evolution.  The first factor is an (R,) scalar exp; the
+    # second has |delta dt| ~ sigma * dt ~ 1e-3 in practice, so it takes
+    # the truncated small-argument exp (df64.exp_small, 4x cheaper) —
+    # guarded per event by the measured bound below, falling back to the
+    # full range-reduced exp_fast on the rare large-|z| event.  Extra
+    # rounding vs the fused form: one df64 product (~2^-47/event), the
+    # same grade the separable kick tables already spend.
+    b_anchor = D.DF(beta_df.hi[:, 0], beta_df.lo[:, 0])       # (R,)
+    delta_b = D.sub(beta_df, D.DF(b_anchor.hi[:, None],
+                                  b_anchor.lo[:, None]))      # (R, N)
+    delta_max = jnp.max(jnp.abs(D.to_f32(delta_b)))           # scalar
+
     init = _DFCarry(
         v_hi=v_init.hi, v_lo=v_init.lo, s_hi=s_init.hi, s_lo=s_init.lo,
         t_hi=jnp.zeros((R,), jnp.float32), t_lo=jnp.zeros((R,), jnp.float32),
@@ -271,6 +288,7 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         misfire = dt32 > jnp.float32(50.0)
         dt = D.df(jnp.where(misfire, jnp.float32(0.05), dt32))
         bj32 = beta32[rows, j]
+        dt_cap = jnp.float32(2.0 * cfg.t_horizon)
         for _ in range(2):      # two df64 Newton polishes: f32 root -> df64
             fval = _membrane_df(dt, vj, sj, bj, ibj, cfg)
             fp = membrane_dfun(dt.hi, D.to_f32(vj), D.to_f32(sj), bj32,
@@ -278,17 +296,37 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
             fp = jnp.where(jnp.abs(fp) > jnp.float32(1e-12), fp,
                            jnp.float32(1.0))
             dt = D.sub(dt, D.df(D.to_f32(fval) / fp))
+            # Bound the step to the evolve's own time budget: on a misfire
+            # row (f32/df64 schedule disagreement — already rejected via
+            # `consistent`) the polish iterates on a rootless residual and
+            # can run to overflow, and the resulting inf/NaN poisons the
+            # whole row's carry.  Live rows sit within [0, 2T] by the bail-
+            # out semantics and never touch the clamp (exact: D.where is a
+            # bitwise select).  Plain arrays, NOT df_const: its fusion-
+            # blocking optimization barrier costs ~25% of the whole replay
+            # when placed inside the scan body (measured), and a selected
+            # constant is no reassociation hazard.
+            zero = jnp.zeros_like(dt.hi)
+            dt = D.where(dt.hi < 0.0, D.DF(zero, zero), dt)
+            dt = D.where(dt.hi > dt_cap,
+                         D.DF(jnp.full_like(dt.hi, dt_cap), zero), dt)
 
         # --- advance all N lanes by dt (closed form; ONE (R,N) df-exp
         # for the membrane/synapse shared decay, two for the kick) --------
         dt_row = dt
         e_t = D.exp_fast(D.neg(dt_row))                   # (R,) df
         e_t2 = D.DF(e_t.hi[:, None], e_t.lo[:, None])     # (R,1)
-        # full error-free product: dropping the hi*hi rounding term here
-        # (measured) leaks ~8e-9 absolute per event into e_b and the times
-        # drift to ~1e-6 over a trajectory — two_prod is not optional
-        bdt = D.mul(beta_df, D.DF(dt_row.hi[:, None], dt_row.lo[:, None]))
-        e_b = D.exp_fast(D.neg(bdt))                      # (R,N)
+        # e_b = exp(-beta dt) via the anchor/delta split (see setup above).
+        # Full error-free products throughout: dropping the hi*hi rounding
+        # term here (measured) leaks ~8e-9 absolute per event into e_b and
+        # the times drift to ~1e-6 over a trajectory.
+        e_bm = D.exp_fast(D.neg(D.mul(b_anchor, dt_row)))  # (R,)
+        dt2 = D.DF(dt_row.hi[:, None], dt_row.lo[:, None])
+        z = D.neg(D.mul(delta_b, dt2))                     # (R,N) small
+        zmax = delta_max * jnp.max(jnp.abs(dt_row.hi))
+        e_d = jax.lax.cond(zmax <= jnp.float32(D.SMALL_EXP_BOUND),
+                           D.exp_small, D.exp_fast, z)
+        e_b = D.mul(e_d, D.DF(e_bm.hi[:, None], e_bm.lo[:, None]))
 
         v_adv = D.mul(v, e_t2)
         v_adv = D.add(v_adv, _cmul(D.sub(D.df_const(1.0), e_t2), cfg.drive))

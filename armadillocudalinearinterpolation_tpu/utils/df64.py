@@ -272,6 +272,41 @@ def exp_fast(a: Like) -> DF:
     return scale_pow2(p, m)
 
 
+# Largest |a| for which exp_small keeps full pair precision (see docstring).
+SMALL_EXP_BOUND = 0.08
+
+
+def exp_small(a: Like) -> DF:
+    """df64 exp for ``|a| <= SMALL_EXP_BOUND`` — ~4x cheaper than exp_fast.
+
+    No range reduction (the argument is already far inside ``ln2/2``), a
+    plain-f32 Horner tail for ``k = 5..9`` and a df64 Horner only for
+    ``k = 2..4``.  Error budget at the bound ``|a| = 0.08``:
+
+      * truncation past k = 9: ``0.08^10/10! ~ 3e-18`` relative — nil;
+      * f32 tail rounding: the k >= 5 terms contribute at most
+        ``0.08^5/5! ~ 2.7e-8`` of the result, so their ~1e-7 relative f32
+        error lands at ~2.7e-15 — at the pair's own 2^-47;
+      * the k = 4 term (~1.7e-6 of the result) must be df64: in f32 it
+        would leak ~1.7e-13, which is why the tail starts at 5.
+
+    Measured (CPU, (64, 4096) f32): 20 ns/elt vs exp_fast's 87 — the
+    difference between a range-reduced 6-step df64 Horner and a 3-step one.
+    Callers must guarantee the bound; use :func:`exp_fast` otherwise (the
+    replay's per-event decay selects between the two with a ``lax.cond``
+    on a measured argument bound, ``model/replay.py``).
+    """
+    a = _as_df(a)
+    rh = a.hi
+    p32 = jnp.asarray(_INV_FACT[7], _F32)        # 1/9!
+    for c in reversed(_INV_FACT[3:7]):           # 1/8! .. 1/5!
+        p32 = p32 * rh + jnp.asarray(c, _F32)
+    p = df(p32)
+    for c in reversed(_INV_FACT[:3]):            # 1/4! .. 1/2!
+        p = add(mul(p, a), df_const(c))
+    return add(add(df_const(1.0), a), mul(mul(a, a), p))
+
+
 def exp_neg_prod(b: DF, t: DF) -> DF:
     """``exp(-b * t)`` — the map's workhorse form (synaptic decay)."""
     return exp(neg(mul(b, t)))

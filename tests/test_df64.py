@@ -72,6 +72,27 @@ def test_exp_fast_jit(samples):
     assert _relerr(np.asarray(ey), np.exp(y)) < 1e-13
 
 
+def test_exp_small_jit():
+    """exp_small must be full df64 grade over its whole contract range
+    |a| <= SMALL_EXP_BOUND, including the endpoints (the replay's
+    lax.cond selects it by a measured bound, so the edge is reachable),
+    and must agree with exp_fast there — the two are interchangeable
+    branches of the same computation."""
+    y = np.linspace(-D.SMALL_EXP_BOUND, D.SMALL_EXP_BOUND, 40001)
+    yd = D.from_f64(jnp.asarray(y))
+    e_small = jax.jit(lambda a: D.to_f64(D.exp_small(a)))(yd)
+    e_fast = jax.jit(lambda a: D.to_f64(D.exp_fast(a)))(yd)
+    assert _relerr(e_small, np.exp(y)) < 1e-13
+    assert np.max(np.abs(np.asarray(e_small) - np.asarray(e_fast))
+                  / np.exp(y)) < 2e-14
+    # exactness at zero: exp_small(0) == 1 bitwise (the sigma = 0 replay
+    # relies on the delta factor being exactly neutral)
+    z = D.df(jnp.zeros(3))
+    out = jax.jit(lambda a: D.exp_small(a))(z)
+    assert np.all(np.asarray(out.hi) == 1.0)
+    assert np.all(np.asarray(out.lo) == 0.0)
+
+
 def test_jit_constant_reassociation_guard():
     """add(const, x) must keep its error term under jit (the XLA literal-
     reassociation regression the df_const barrier exists for)."""

@@ -52,6 +52,31 @@ def test_replay_matches_f64_evolve(cfg, pieces):
     assert float(jnp.max(jnp.abs(rep.last_time - res64.last_time))) < 1e-10
 
 
+def test_replay_wide_beta_matches_f64_evolve(cfg):
+    """Large heterogeneity spread: |beta - beta[lane 0]| reaches ~3, so the
+    per-event bound delta_max * dt crosses SMALL_EXP_BOUND and the decay's
+    lax.cond falls back to the full range-reduced exp on those events
+    (0.08 / 3 ~ 0.027, well inside the inter-event dt range at N=512).
+    The replay must stay 1e-10-grade against the f64 oracle through the
+    mixed small/fallback branch sequence."""
+    params = alt.MapParams.create(13.0589, 0.0, dtype="float64")
+    beta0 = sample_beta(cfg, params, KEY)
+    phase = 2.0 * jnp.pi * jnp.arange(cfg.n_neurons) / cfg.n_neurons
+    beta = beta0 + 3.0 * jnp.sin(phase)          # lane 0 offset exactly 0
+    init_ind = liftm.initial_spike_indices(cfg, Z64)
+    v0, s0 = liftm.lift(cfg, params, z_to_u(Z64))
+    res64, sched = evolve_ensemble_batched(cfg, None, v0, s0, beta, init_ind,
+                                           record_schedule=cfg.max_events)
+    rep = replay.replay_events(cfg, sched, res64.n_events, v0, s0, beta,
+                               init_ind)
+    assert bool(jnp.any(res64.accept)), "degenerate: no realisation accepted"
+    assert bool(jnp.all(rep.accept == res64.accept))
+    assert int(jnp.sum(rep.crossed_ind != res64.crossed_ind)) == 0
+    assert float(jnp.max(jnp.abs(rep.crossed_time - res64.crossed_time))) \
+        < 1e-10
+    assert float(jnp.max(jnp.abs(rep.last_time - res64.last_time))) < 1e-10
+
+
 def test_replay_backend_residual_matches_f64(cfg):
     params = alt.MapParams.create(13.0589, 0.1, dtype="float64")
     f_ref = event_driven_map(cfg, params, KEY, Z64, evolve_backend="xla")
