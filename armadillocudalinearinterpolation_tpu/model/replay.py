@@ -22,8 +22,10 @@ This module splits the work by *information content*:
    pairs carrying 48 mantissa bits on the VPU at f32 speed, no f64
    emulation anywhere in the loop.  A fixed-length ``lax.scan`` replaces
    both nested loops (no data-dependent trip counts: the schedule length is
-   known), so the per-event cost is one (R, N) df-exp advance plus O(R)
-   scalar work.
+   known), so the per-event cost is one (R, N) small-argument df-exp
+   advance (the full-range decay factors into an (R,) scalar exp times
+   ``exp(-delta dt)`` with ``|delta dt| ~ sigma dt``; see the anchor/delta
+   split in :func:`replay_events`) plus O(R) scalar work.
 
 The replay is also the **differentiable fast path** (VERDICT round 2, item
 #2): the scan body is smooth given the schedule — the scalar root carries
@@ -128,17 +130,27 @@ class _KickTables(NamedTuple):
     out at ``e^{b1 * 2L} = e^30 ~ 1e13``, comfortably inside f32.
     """
 
-    A1: D.DF   # (N,) e^{-b1 x}
-    B1: D.DF   # (N,) e^{+b1 x}
-    CA1: D.DF  # (N,) e^{-b1 L2} * A1
-    CB1: D.DF  # (N,) e^{-b1 L2} * B1
+    A1: D.DF    # (N,) e^{-b1 x}              (j-side gathers)
+    B1: D.DF    # (N,) e^{+b1 x}
+    SA1: D.DF   # (N,) a1 dx e^{-b1 x}        (i-side, amplitude folded in)
+    SB1: D.DF   # (N,) a1 dx e^{+b1 x}
+    SCA1: D.DF  # (N,) a1 dx e^{-b1 L2} e^{-b1 x}   (wrap leg, i-side)
+    SCB1: D.DF  # (N,) a1 dx e^{-b1 L2} e^{+b1 x}
     A2: D.DF
     B2: D.DF
-    CA2: D.DF
-    CB2: D.DF
+    SA2: D.DF
+    SB2: D.DF
+    SCA2: D.DF
+    SCB2: D.DF
 
 
 def _build_kick_tables(cfg: ModelConfig) -> _KickTables:
+    # Measured (twice, in different round-3 investigations): different
+    # jitted consumers of these tables (replay residual, frozen-schedule
+    # map, shard_map residual) agree BITWISE without any barrier — XLA's
+    # constant folding of the build is numerically faithful here.  Only
+    # eager-vs-compiled differs (~1e-13 in crossing times), which no
+    # barrier can cure; don't add one without a measured failure.
     lane = jnp.arange(cfg.n_neurons, dtype=jnp.float32)
     # x_i = i * dx as a full df64 product: dx need not be exactly
     # f32-representable (it is for power-of-two N with L = 3, but the
@@ -146,40 +158,55 @@ def _build_kick_tables(cfg: ModelConfig) -> _KickTables:
     x = D.mul(D.df(lane), D.df_const(cfg.dx))
     L2 = cfg.n_neurons * cfg.dx
 
-    def tables(b: float):
+    import math
+
+    def tables(b: float, a: float):
         A = D.exp(D.mul(x, D.df_const(-b)))
         B = D.exp(D.mul(x, D.df_const(b)))
-        C = D.exp(D.df_const(-b * L2))
-        return A, B, D.mul(C, A), D.mul(C, B)
+        # Scale constants computed in PYTHON double (rounds at 2^-53,
+        # below the pair's 2^-47) and split once by df_const — simpler
+        # and one rounding cheaper than traced df64 const-x-const
+        # products, and it keeps all-literal df chains (a known XLA
+        # reassociation hazard surface) out of the build.
+        s = D.df_const(a * cfg.dx)
+        sC = D.df_const(a * cfg.dx * math.exp(-b * L2))
+        return A, B, D.mul(s, A), D.mul(s, B), D.mul(sC, A), D.mul(sC, B)
 
-    A1, B1, CA1, CB1 = tables(cfg.b1)
-    A2, B2, CA2, CB2 = tables(cfg.b2)
-    return _KickTables(A1, B1, CA1, CB1, A2, B2, CA2, CB2)
+    t1 = tables(cfg.b1, cfg.a1)
+    t2 = tables(cfg.b2, cfg.a2)
+    return _KickTables(*t1, *t2)
 
 
 def _kick_weight_df(tabs: _KickTables, j: jax.Array, lane: jax.Array,
                     cfg: ModelConfig) -> D.DF:
     """``w(d_ring(i, j)) * dx`` for all lanes ``i``, firing lane ``j`` per
-    row — the separable-table evaluation of :func:`_mexhat_df`."""
+    row — the separable-table evaluation of :func:`_mexhat_df`.
+
+    The amplitude and grid constants ``a * dx`` are folded into the
+    i-side tables at build time (exact df64 products, one rounding fewer
+    than applying them per event), so the per-event work is the two ring
+    legs and a bare ``sub`` — the three (R, N) constant multiplies of the
+    naive form are gone.  (A select-free min/max formulation with shared
+    products was tried and measured 2.2x SLOWER on CPU XLA — one extra
+    broadcast df64 product per rate outweighs ~10 saved selects, and the
+    select-based form fuses better; see ROADMAP.)"""
     ge = lane >= j[:, None]                                  # (R, N)
 
     def gather(t: D.DF) -> D.DF:
         return D.DF(t.hi[j][:, None], t.lo[j][:, None])     # (R, 1)
 
-    def ering(A, B, CA, CB):
-        Aj, Bj = gather(A), gather(B)
-        direct = D.mul(D.where(ge, D.DF(A.hi[None], A.lo[None]),
-                               D.DF(B.hi[None], B.lo[None])),
-                       D.where(ge, Bj, Aj))                  # e^{-b u}
-        wrap = D.mul(D.where(ge, D.DF(CB.hi[None], CB.lo[None]),
-                             D.DF(CA.hi[None], CA.lo[None])),
-                     D.where(ge, Aj, Bj))                    # e^{-b (L2-u)}
+    def ering(A, B, SA, SB, SCA, SCB):
+        direct = D.mul(D.where(ge, D.DF(SA.hi[None], SA.lo[None]),
+                               D.DF(SB.hi[None], SB.lo[None])),
+                       D.where(ge, gather(B), gather(A)))    # a dx e^{-b u}
+        wrap = D.mul(D.where(ge, D.DF(SCB.hi[None], SCB.lo[None]),
+                             D.DF(SCA.hi[None], SCA.lo[None])),
+                     D.where(ge, gather(A), gather(B)))   # a dx e^{-b(L2-u)}
         return D.where(D.greater(direct, wrap), direct, wrap)
 
-    e1 = ering(tabs.A1, tabs.B1, tabs.CA1, tabs.CB1)
-    e2 = ering(tabs.A2, tabs.B2, tabs.CA2, tabs.CB2)
-    w = D.sub(_cmul(e1, cfg.a1), _cmul(e2, cfg.a2))
-    return _cmul(w, cfg.dx)
+    e1 = ering(tabs.A1, tabs.B1, tabs.SA1, tabs.SB1, tabs.SCA1, tabs.SCB1)
+    e2 = ering(tabs.A2, tabs.B2, tabs.SA2, tabs.SB2, tabs.SCA2, tabs.SCB2)
+    return D.sub(e1, e2)
 
 
 def _membrane_df(t: D.DF, v0: D.DF, s0: D.DF, beta: D.DF, inv1mb: D.DF,

@@ -416,6 +416,18 @@ def bench_newton_1e8():
     d_emu = float(jnp.max(jnp.abs(F_emu(pol.solution)
                                   - F64(pol.solution))))
 
+    # Single df64-replay map evaluation (schedule pass + replay scan),
+    # warm: the direct measure of the replay-path optimizations (kick
+    # tables, anchor/delta exp split).  Host readback forces real timing
+    # through the tunnel (block_until_ready does not synchronise).
+    t_eval = []
+    for k in range(3):
+        z_e = pol.solution + (k + 1) * 1e-7
+        t0 = time.perf_counter()
+        float(jnp.sum(F64(z_e)))
+        t_eval.append(time.perf_counter() - t0)
+    t_replay_eval = min(t_eval)
+
     # Frozen-schedule fused-FD variant (solvers/staged.py
     # newton_solve_frozen): replaces stage 2's jacfwd (~8x a forward eval)
     # with ONE batched 7-point frozen-outcome replay per iteration.
@@ -443,7 +455,7 @@ def bench_newton_1e8():
 
     return (t_solve, t_cold, iters,
             max(float(pol.residual_norm), float(pol_cold.residual_norm)),
-            d_emu, t_frozen, norm_frozen)
+            d_emu, t_frozen, norm_frozen, t_replay_eval)
 
 
 def bench_sweep_100pt():
@@ -610,8 +622,9 @@ def main():
     try:
         _stage("newton_1e8")
         (t_solve, t_cold, iters, norm, d_emu,
-         t_frozen, norm_frozen) = bench_newton_1e8()
+         t_frozen, norm_frozen, t_replay_eval) = bench_newton_1e8()
         extras["newton_N4096_s"] = round(t_solve, 2)
+        extras["replay_eval_N4096_ms"] = round(t_replay_eval * 1e3, 1)
         extras["newton_N4096_cold_s"] = round(t_cold, 2)
         extras["newton_iters"] = iters
         extras["newton_final_norm"] = norm

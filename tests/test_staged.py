@@ -40,8 +40,14 @@ def test_frozen_fd_matches_jacfwd_and_solves(key):
         lambda z: compute_discrete_outcome(cfg, params, key, z))(Z0)
     Ff = jax.jit(lambda z: frozen_schedule_map(cfg, params, key, z,
                                                sched, n_ev, ii))
-    # the frozen map equals the full replay map AT the freezing point
-    np.testing.assert_allclose(np.asarray(Ff(Z0)), np.asarray(F(Z0)),
+    # the frozen map equals the full replay map AT the freezing point.
+    # Compare compiled-vs-compiled (same precedent as the shard_map
+    # equality test): eager op-by-op dispatch differs from XLA's whole-
+    # program rewrite at the ~1e-13 level, and this Z0 sits near enough
+    # to a discrete event-classification boundary that the 1e-13
+    # arithmetic difference once flipped an outcome and moved the eager
+    # residual by 3e-7 while both jitted paths stayed bitwise equal.
+    np.testing.assert_allclose(np.asarray(Ff(Z0)), np.asarray(jax.jit(F)(Z0)),
                                rtol=0, atol=1e-12)
     eps = 1e-5
     cols = []
@@ -53,14 +59,19 @@ def test_frozen_fd_matches_jacfwd_and_solves(key):
     assert rel < 1e-5, rel
 
     # the standalone fused solver converges and its root checks out through
-    # an independent (cache-free) replay oracle
+    # an independent replay oracle — a FRESH jitted program (independent of
+    # the solver's internal caches), not an eager evaluation: this
+    # trajectory passes near a grazing event, where the ~1e-13 eager-vs-
+    # compiled arithmetic difference flips a discrete outcome and moves
+    # the eager residual ~3e-7 (the map's event-reordering discontinuity
+    # scale), swamping the 1e-9 root quality the check is about.
     res = newton_solve_frozen(
         cfg, params, key, Z0,
         NewtonConfig(tolerance=1e-7, max_iterations=8, fd_mode="frozen",
                      fd_epsilon=1e-5))
     assert bool(res.converged)
     assert int(res.iterations) <= 6
-    assert float(jnp.linalg.norm(F(res.solution))) <= 1.5e-7
+    assert float(jnp.linalg.norm(jax.jit(F)(res.solution))) <= 1.5e-7
     # a 0-iteration re-solve from the root still exports a REAL Jacobian
     res0 = newton_solve_frozen(
         cfg, params, key, res.solution,
