@@ -169,7 +169,8 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
     per step — the same bounded-dispatch rationale as
     :func:`..solvers.newton.newton_solve_host`.
     """
-    from ..model.emap import compute_discrete_outcome, frozen_schedule_map
+    from ..model.emap import (compute_discrete_outcome,
+                              frozen_schedule_map_batched)
     from ..solvers.criterion import residual_norm_criterion
     from ..solvers.linalg import solve_dense
 
@@ -192,12 +193,15 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
         pts = jnp.concatenate([y[None, :], y[None, :] + e,
                                y[None, :] - e])              # (2n1+1, n1)
 
-        def evalF(yy):
-            params = _params_of(param, yy[-1], fixed, dt_)
-            return frozen_schedule_map(cfg, params, key, yy[:-1],
-                                       sched, n_ev, ii)
-
-        Fv = jax.vmap(evalF)(pts)                            # (2n1+1, n)
+        # flat (2n1+1)*R-row replay, NOT vmap(frozen_schedule_map): under
+        # vmap the replay's per-event lax.cond runs both exp branches (see
+        # frozen_schedule_map_batched).  The walked parameter varies per
+        # point, so the params pytree carries a leading point axis.
+        params_s = jax.vmap(
+            lambda t: _params_of(param, t, fixed, dt_))(pts[:, -1])
+        Fv = frozen_schedule_map_batched(cfg, params_s, key, pts[:, :-1],
+                                         sched, n_ev, ii,
+                                         params_batched=True)
         JF = (Fv[1:n1 + 1] - Fv[n1 + 1:]).T / (2.0 * ep)     # (n, n1)
         arc = jnp.dot(y - y_prev, tangent) - ds
         G = jnp.concatenate([Fv[0], arc[None].astype(Fv.dtype)])

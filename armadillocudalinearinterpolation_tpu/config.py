@@ -82,6 +82,24 @@ class ModelConfig:
     # n_neurons <= 8192 (the enumerated re-anchor shifts unroll n/128
     # cases into the kernel body).  Certified exact like the block mode.
     evolve_window_per_row: bool = False
+    # How the df64 replay computes the small-argument delta factor of its
+    # anchor/delta-split decay exp (model/replay.py):
+    #   "cond"  — per-event lax.cond on the measured |z| bound: exp_small
+    #             when every live row is within SMALL_EXP_BOUND, full
+    #             range-reduced exp_fast otherwise.  Exact everywhere; the
+    #             default.  HAZARD being measured on chip: TPU lax.cond
+    #             inside loops can execute BOTH branches (observed in the
+    #             2D-binned kernel work), which would erase exp_small's ~4x
+    #             win — hence the two escape hatches below.
+    #   "small" — exp_small hardcoded.  A live row whose |z| exceeds the
+    #             bound on some event is REJECTED via the consistency flag
+    #             (never silently mis-evolved), so this is exact-or-rejected:
+    #             right for small-sigma regimes (|z| ~ sigma*dt stays ~1e-3
+    #             at the reference parameters) and for the on-chip A/B.
+    #   "fast"  — exp_fast hardcoded.  Exact everywhere, no cond; the
+    #             fallback if the chip measurement shows both-branch
+    #             execution AND a workload needs large sigma.
+    replay_exp_mode: str = "cond"
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -107,6 +125,9 @@ class ModelConfig:
                 raise ValueError("evolve_window_per_row unrolls n/128 "
                                  "re-anchor shifts; n_neurons > 8192 would "
                                  "blow up the kernel body")
+        if self.replay_exp_mode not in ("cond", "small", "fast"):
+            raise ValueError("replay_exp_mode must be 'cond', 'small' or "
+                             f"'fast'; got {self.replay_exp_mode!r}")
         if self.n_neurons < 256:
             import warnings
             warnings.warn(

@@ -219,6 +219,67 @@ def frozen_schedule_map(cfg: ModelConfig, params: MapParams, key: jax.Array,
     return assemble_residual(cfg, U, u_mean)
 
 
+def frozen_schedule_map_batched(cfg: ModelConfig, params: MapParams,
+                                key: jax.Array, Zs: jax.Array,
+                                schedule: jax.Array, n_sched: jax.Array,
+                                init_ind: jax.Array, *,
+                                params_batched: bool = False) -> jax.Array:
+    """:func:`frozen_schedule_map` over a ``(P, n)`` stack of points sharing
+    ONE frozen outcome — a flat ``(P * n_real)``-row replay, not a vmap.
+
+    This is the evaluation engine of the fused frozen-FD Jacobians
+    (``solvers/staged.py``, ``analysis/continuation.py``).  Two reasons it
+    is not ``jax.vmap(frozen_schedule_map)``:
+
+      * under ``vmap``, the replay's per-event small/full-exp ``lax.cond``
+        lowers to a select that executes BOTH branches on every event —
+        the small-exp split's ~4x win degrades into a net regression (the
+        cond-inside-loops hazard measured in the 2D-binned kernel work);
+      * one scan over ``(P*R, N)`` arrays vectorises better than ``P``
+        lockstep scans over ``(R, N)``.
+
+    Args:
+      params: shared :class:`MapParams`, or (``params_batched=True``) a
+        MapParams pytree with a leading ``P`` axis — one per point, for
+        correctors that walk a map parameter (the heterogeneity draw stays
+        frozen noise under common random numbers: same ``key``).
+      Zs: ``(P, n_spikes)`` evaluation points.
+      schedule, n_sched, init_ind: one frozen discrete outcome from
+        :func:`compute_discrete_outcome`, shared by all points.
+
+    Returns:
+      ``(P, n_spikes)`` residuals, row ``i`` equal to
+      ``frozen_schedule_map(cfg, params_i, key, Zs[i], ...)`` to ~1 ulp
+      (the tiled and single programs are different XLA programs, worth
+      ~4e-16 even at ``sigma = 0``; the global-vs-per-point cond branch
+      choice adds ~1e-15 per event at ``sigma > 0`` — both measured,
+      ``tests/test_staged.py::test_frozen_batched_matches_single``).
+    """
+    from .replay import replay_events
+
+    def prep(Z, p):
+        beta = sample_beta(cfg, p, key)
+        U = z_to_u(Z.astype(cfg.jdtype))
+        v0, s0 = lift(cfg, p, U)
+        return beta, U, v0, s0
+
+    beta_s, Us, v0s, s0s = jax.vmap(
+        prep, in_axes=(0, 0 if params_batched else None))(Zs, params)
+    P, R = beta_s.shape[0], beta_s.shape[1]
+    res = replay_events(cfg,
+                        jnp.tile(schedule, (P, 1)),
+                        jnp.tile(n_sched, (P,)),
+                        jnp.repeat(v0s, R, axis=0),
+                        jnp.repeat(s0s, R, axis=0),
+                        beta_s.reshape(P * R, -1),
+                        init_ind)
+    positions = restrict_positions(cfg, res)              # (P*R, M)
+    M = positions.shape[-1]
+    u_means, _ = jax.vmap(masked_ensemble_mean)(
+        positions.reshape(P, R, M), res.accept.reshape(P, R))
+    return jax.vmap(lambda u, um: assemble_residual(cfg, u, um))(Us, u_means)
+
+
 def make_residual_fn(cfg: ModelConfig, params: MapParams, key: jax.Array,
                      *, evolve_backend: str = "auto",
                      ) -> Callable[[jax.Array], jax.Array]:

@@ -145,6 +145,12 @@ class _KickTables(NamedTuple):
 
 
 def _build_kick_tables(cfg: ModelConfig) -> _KickTables:
+    if not (cfg.a1 > 0 and cfg.a2 > 0):
+        # the ring-minimum select compares the a*dx-SCALED legs, which
+        # inverts under a negative amplitude (max of scaled = min of
+        # exponentials -> wrong ring leg, silently)
+        raise ValueError("separable kick tables require positive coupling "
+                         f"amplitudes; got a1={cfg.a1}, a2={cfg.a2}")
     # Measured (twice, in different round-3 investigations): different
     # jitted consumers of these tables (replay residual, frozen-schedule
     # map, shard_map residual) agree BITWISE without any barrier — XLA's
@@ -234,8 +240,11 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         ``schedule.shape[1]`` (the scan length).
       schedule: ``(n_real, E)`` int32 firing-lane log from the f32 pass.
       n_sched: ``(n_real,)`` int32 valid event counts.
-      v0, s0: ``(n_neurons,)`` lifted initial state (any float dtype; f64
-        inputs keep their low words through the df64 split).
+      v0, s0: ``(n_neurons,)`` lifted initial state, broadcast over rows —
+        or ``(n_real, n_neurons)`` per-row states (the tiled multi-point
+        path, :func:`..model.emap.frozen_schedule_map_batched`).  Any
+        float dtype; f64 inputs keep their low words through the df64
+        split.
       beta: ``(n_real, n_neurons)`` heterogeneous rates.
       init_ind: ``(n_spikes,)`` initial spike indices.
 
@@ -315,7 +324,6 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         misfire = dt32 > jnp.float32(50.0)
         dt = D.df(jnp.where(misfire, jnp.float32(0.05), dt32))
         bj32 = beta32[rows, j]
-        dt_cap = jnp.float32(2.0 * cfg.t_horizon)
         for _ in range(2):      # two df64 Newton polishes: f32 root -> df64
             fval = _membrane_df(dt, vj, sj, bj, ibj, cfg)
             fp = membrane_dfun(dt.hi, D.to_f32(vj), D.to_f32(sj), bj32,
@@ -323,20 +331,18 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
             fp = jnp.where(jnp.abs(fp) > jnp.float32(1e-12), fp,
                            jnp.float32(1.0))
             dt = D.sub(dt, D.df(D.to_f32(fval) / fp))
-            # Bound the step to the evolve's own time budget: on a misfire
-            # row (f32/df64 schedule disagreement — already rejected via
-            # `consistent`) the polish iterates on a rootless residual and
-            # can run to overflow, and the resulting inf/NaN poisons the
-            # whole row's carry.  Live rows sit within [0, 2T] by the bail-
-            # out semantics and never touch the clamp (exact: D.where is a
-            # bitwise select).  Plain arrays, NOT df_const: its fusion-
-            # blocking optimization barrier costs ~25% of the whole replay
-            # when placed inside the scan body (measured), and a selected
-            # constant is no reassociation hazard.
-            zero = jnp.zeros_like(dt.hi)
-            dt = D.where(dt.hi < 0.0, D.DF(zero, zero), dt)
-            dt = D.where(dt.hi > dt_cap,
-                         D.DF(jnp.full_like(dt.hi, dt_cap), zero), dt)
+        # A misfire row's polish iterates on a ROOTLESS residual and can
+        # run off to overflow/NaN, which would poison the whole row's
+        # carry; pin it back to the harmless substitute after the polish
+        # (the select strips any non-finite polish value — plain arrays,
+        # not df_const, whose fusion-blocking barrier costs ~25% of the
+        # replay inside the scan body, measured).  Live rows keep their
+        # polished dt untouched: nothing bounds a genuine inter-event gap
+        # below the no-fire sentinel — a slow lane can legitimately take
+        # dt >> 2T, so a clamp here would silently corrupt its times (the
+        # row stays accept=True).  Misfire rows are already rejected via
+        # `consistent`.
+        dt = D.where(misfire, D.df(jnp.full_like(dt.hi, 0.05)), dt)
 
         # --- advance all N lanes by dt (closed form; ONE (R,N) df-exp
         # for the membrane/synapse shared decay, two for the kick) --------
@@ -350,9 +356,30 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         e_bm = D.exp_fast(D.neg(D.mul(b_anchor, dt_row)))  # (R,)
         dt2 = D.DF(dt_row.hi[:, None], dt_row.lo[:, None])
         z = D.neg(D.mul(delta_b, dt2))                     # (R,N) small
-        zmax = delta_max * jnp.max(jnp.abs(dt_row.hi))
-        e_d = jax.lax.cond(zmax <= jnp.float32(D.SMALL_EXP_BOUND),
-                           D.exp_small, D.exp_fast, z)
+        # Branch/validity bound over LIVE rows only: a finished row's dt
+        # comes from a root-find on its frozen state (legitimately up to
+        # the no-fire sentinel) and its carry updates are discarded by the
+        # live masks below, so letting it force the expensive fallback (or
+        # a rejection, in "small" mode) would waste the small-exp win on
+        # the batch's ragged tail.  exp_small's polynomial stays FINITE
+        # (no inf/NaN) even at the discarded rows' worst
+        # |z| ~ delta_max * 50 ~ 4e2 (value ~1e18), so garbage never
+        # escapes the masks.
+        exp_ok = None
+        if cfg.replay_exp_mode == "small":
+            # hardcoded small-arg exp; a live row beyond the bound is
+            # REJECTED via `consistent` (exact-or-rejected semantics — see
+            # ModelConfig.replay_exp_mode)
+            exp_ok = (jnp.max(jnp.abs(z.hi), axis=1)
+                      <= jnp.float32(D.SMALL_EXP_BOUND)) | ~live
+            e_d = D.exp_small(z)
+        elif cfg.replay_exp_mode == "fast":
+            e_d = D.exp_fast(z)
+        else:                                   # "cond" (default)
+            zmax = delta_max * jnp.max(jnp.where(live, jnp.abs(dt_row.hi),
+                                                 jnp.float32(0.0)))
+            e_d = jax.lax.cond(zmax <= jnp.float32(D.SMALL_EXP_BOUND),
+                               D.exp_small, D.exp_fast, z)
         e_b = D.mul(e_d, D.DF(e_bm.hi[:, None], e_bm.lo[:, None]))
 
         v_adv = D.mul(v, e_t2)
@@ -390,7 +417,8 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
             crossed_hi=jnp.where(is_cross, tc_hi, c.crossed_hi),
             crossed_lo=jnp.where(is_cross, tc_lo, c.crossed_lo),
             crossed=c.crossed | is_cross,
-            consistent=c.consistent & ~(misfire & live),
+            consistent=(c.consistent & ~(misfire & live)
+                        & (exp_ok if exp_ok is not None else True)),
         )
 
     # Bounded while-loop instead of a fixed-length scan: every step past

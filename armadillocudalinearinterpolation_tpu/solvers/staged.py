@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, MapParams, NewtonConfig
 from ..model.emap import (compute_discrete_outcome, event_driven_map,
-                          frozen_schedule_map, make_residual_fn)
+                          frozen_schedule_map_batched, make_residual_fn)
 from .criterion import residual_norm_criterion
 from .linalg import solve_dense
 from .newton import (NewtonResult, frozen_jacobian_polish, newton_solve,
@@ -103,8 +103,11 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
             e = ep * jnp.eye(n, dtype=dt_)
             pts = jnp.concatenate([z[None, :], z[None, :] + e,
                                    z[None, :] - e])        # (2n+1, n)
-            vals = jax.vmap(lambda zz: frozen_schedule_map(
-                cfg, p, k, zz, sched, n_ev, ii))(pts)
+            # flat (2n+1)*R-row replay, NOT vmap(frozen_schedule_map):
+            # under vmap the replay's per-event lax.cond runs both exp
+            # branches (see frozen_schedule_map_batched)
+            vals = frozen_schedule_map_batched(cfg, p, k, pts,
+                                               sched, n_ev, ii)
             f = vals[0]
             jac = (vals[1:n + 1] - vals[n + 1:]).T / (2.0 * ep)
             return f, jac

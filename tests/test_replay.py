@@ -141,6 +141,57 @@ def test_replay_invariant_to_schedule_padding(cfg, pieces):
         assert bool(jnp.all(a == b))
 
 
+def test_replay_exp_modes(cfg, pieces):
+    """cfg.replay_exp_mode: the three small-exp strategies must agree.
+
+    "fast" (exp_fast hardcoded) is exact everywhere, so it must match the
+    default "cond" to replay grade on both the small-sigma batch and the
+    wide-beta batch that forces cond's fallback branch.  "small"
+    (exp_small hardcoded) must match on the small-sigma batch where the
+    |z| bound holds on every event — and on the wide-beta batch it must
+    REJECT (not silently mis-evolve) every row that crosses the bound."""
+    _, beta, init_ind, v0, s0 = pieces
+    res64, sched = evolve_ensemble_batched(cfg, None, v0, s0, beta, init_ind,
+                                           record_schedule=cfg.max_events)
+
+    def run(mode, b=beta, s=sched, n=None):
+        c = cfg.with_(replay_exp_mode=mode)
+        return jax.jit(lambda: replay.replay_events(
+            c, s, res64.n_events if n is None else n, v0, s0, b, init_ind))()
+
+    ref = run("cond")
+    for mode in ("small", "fast"):
+        rep = run(mode)
+        assert bool(jnp.all(rep.accept == ref.accept)), mode
+        assert float(jnp.max(jnp.abs(rep.crossed_time - ref.crossed_time))) \
+            < 1e-12, mode
+        assert float(jnp.max(jnp.abs(rep.last_time - ref.last_time))) \
+            < 1e-12, mode
+
+    # wide heterogeneity: |z| = |delta * dt| crosses SMALL_EXP_BOUND
+    params0 = alt.MapParams.create(13.0589, 0.0, dtype="float64")
+    beta_w = sample_beta(cfg, params0, KEY) + 3.0 * jnp.sin(
+        2.0 * jnp.pi * jnp.arange(cfg.n_neurons) / cfg.n_neurons)
+    res_w, sched_w = evolve_ensemble_batched(cfg, None, v0, s0, beta_w,
+                                             init_ind,
+                                             record_schedule=cfg.max_events)
+    ref_w = run("cond", b=beta_w, s=sched_w, n=res_w.n_events)
+    fast_w = run("fast", b=beta_w, s=sched_w, n=res_w.n_events)
+    assert bool(jnp.all(fast_w.accept == ref_w.accept))
+    assert float(jnp.max(jnp.abs(fast_w.crossed_time - ref_w.crossed_time))) \
+        < 1e-10
+    small_w = run("small", b=beta_w, s=sched_w, n=res_w.n_events)
+    # every row crossing the bound is rejected; none is silently wrong
+    assert not bool(jnp.any(small_w.accept & ~ref_w.accept))
+    changed = small_w.accept != ref_w.accept
+    assert bool(jnp.any(changed)), \
+        "degenerate: wide-beta batch never crossed the small-exp bound"
+    ok = small_w.accept
+    if bool(jnp.any(ok)):
+        d = jnp.abs(small_w.crossed_time - ref_w.crossed_time)[ok]
+        assert float(jnp.max(d)) < 1e-10
+
+
 def test_separable_kick_tables_match_direct(cfg):
     """The separable A_i B_j kick factorisation must reproduce the direct
     per-event df64 exponential to pair precision for every firing lane —

@@ -16,6 +16,41 @@ from armadillocudalinearinterpolation_tpu import (
 Z0 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float64)
 
 
+def test_frozen_batched_matches_single(key):
+    """frozen_schedule_map_batched (the flat-tiled replay the fused FD
+    Jacobians evaluate through) must reproduce per-point
+    frozen_schedule_map to ~1 ulp.  NOT bitwise: the (P*R)-row and R-row
+    replays are different XLA programs (shape-dependent fusion), which is
+    worth ~4e-16 even at sigma = 0 (measured); at sigma > 0 the lax.cond
+    branch choice is additionally global over the tiled batch instead of
+    per point (~1e-15 per event).  Either is far below the 1e-7-grade
+    FD-stencil differences the batched path exists to resolve."""
+    from armadillocudalinearinterpolation_tpu.model.emap import (
+        compute_discrete_outcome, frozen_schedule_map,
+        frozen_schedule_map_batched)
+
+    cfg = ModelConfig(n_neurons=256, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=1024)
+    eps = 1e-5
+    pts = jnp.stack([Z0,
+                     Z0 + jnp.array([eps, 0.0, 0.0]),
+                     Z0 - jnp.array([0.0, eps, 0.0]),
+                     Z0 + jnp.array([0.0, 0.0, eps])])
+    for sigma, atol in [(0.0, 1e-13), (0.1, 1e-9)]:
+        params = MapParams.create(13.0589, sigma, dtype="float64")
+        sched, n_ev, ii = jax.jit(
+            lambda z: compute_discrete_outcome(cfg, params, key, z))(Z0)
+        batched = jax.jit(
+            lambda ps: frozen_schedule_map_batched(
+                cfg, params, key, ps, sched, n_ev, ii))(pts)
+        single = jax.jit(
+            lambda z: frozen_schedule_map(cfg, params, key, z,
+                                          sched, n_ev, ii))
+        singles = jnp.stack([single(p) for p in pts])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(singles),
+                                   rtol=0, atol=atol)
+
+
 def test_frozen_fd_matches_jacfwd_and_solves(key):
     """The frozen-schedule fused FD Jacobian is jacfwd-grade.
 
