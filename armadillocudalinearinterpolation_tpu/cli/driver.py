@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas evolve root-find window in lanes (multiple "
                         "of 128; 0 = all lanes). Certified exact per event; "
                         "~3x faster at reference scale")
+    p.add_argument("--replay-exp-mode", choices=["cond", "small", "fast"],
+                   default="cond",
+                   help="df64 replay small-exp strategy (ModelConfig."
+                        "replay_exp_mode): cond = per-event bound check "
+                        "(exact, default); small = exp_small hardcoded "
+                        "(exact-or-rejected; fastest at small sigma); "
+                        "fast = full exp hardcoded (exact, no cond)")
     p.add_argument("--staged", action="store_true",
                    help="solve each sweep step with the staged hybrid-"
                         "precision recipe (fp32 Pallas Newton -> df64 "
@@ -191,6 +198,7 @@ def _run(args) -> int:
     cfg = ModelConfig(n_neurons=args.neurons, n_real=args.realisations,
                       n_spikes=args.spikes, t_horizon=args.horizon,
                       evolve_window=args.evolve_window, dtype=args.dtype,
+                      replay_exp_mode=args.replay_exp_mode,
                       **({"max_events": args.max_events}
                          if args.max_events is not None else {}),
                       **({"root_tol": args.root_tol}
