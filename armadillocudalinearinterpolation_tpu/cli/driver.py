@@ -76,13 +76,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas evolve root-find window in lanes (multiple "
                         "of 128; 0 = all lanes). Certified exact per event; "
                         "~3x faster at reference scale")
-    p.add_argument("--replay-exp-mode", choices=["cond", "small", "fast"],
+    p.add_argument("--replay-exp-mode",
+                   choices=["cond", "small", "fast", "hoisted"],
                    default="cond",
                    help="df64 replay small-exp strategy (ModelConfig."
                         "replay_exp_mode): cond = per-event bound check "
                         "(exact, default); small = exp_small hardcoded "
                         "(exact-or-rejected; fastest at small sigma); "
-                        "fast = full exp hardcoded (exact, no cond)")
+                        "fast = full exp hardcoded (exact, no cond); "
+                        "hoisted = exp_small loop + one whole-loop rerun "
+                        "with the full exp only if the bound ever tripped "
+                        "(exact, no per-event cond)")
     p.add_argument("--staged", action="store_true",
                    help="solve each sweep step with the staged hybrid-"
                         "precision recipe (fp32 Pallas Newton -> df64 "
@@ -90,13 +94,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "Jacobian polish; solvers/staged.py). Reaches "
                         "f64-grade tolerances (--tol 1e-8) at ~8x the "
                         "emulated-f64 cost; requires --dtype float64")
-    p.add_argument("--stage2-fd", choices=["exact", "frozen", "central"],
+    p.add_argument("--stage2-fd",
+                   choices=["exact", "frozen", "frozen-fwd", "central"],
                    default="exact",
                    help="--staged accurate-stage Jacobian mode: exact = "
                         "jacfwd through the replay; frozen = fused residual"
                         " + frozen-schedule central FD (jacfwd-grade to "
                         "~3e-7, one batched (2n+1)-point replay per "
-                        "iteration instead of a jacfwd sweep; "
+                        "iteration instead of a jacfwd sweep; frozen-fwd = "
+                        "same with a one-sided (n+1)-point stencil (4/7 "
+                        "the replay rows, ~3e-6 Jacobian accuracy; "
                         "solvers/staged.py newton_solve_frozen); central = "
                         "plain central FD on the full map")
     p.add_argument("--damping", type=float, default=1.0)

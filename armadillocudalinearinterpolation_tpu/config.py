@@ -99,6 +99,14 @@ class ModelConfig:
     #   "fast"  — exp_fast hardcoded.  Exact everywhere, no cond; the
     #             fallback if the chip measurement shows both-branch
     #             execution AND a workload needs large sigma.
+    #   "hoisted" — exp_small loop with the bound violation ACCUMULATED
+    #             into one scalar flag; a single top-level lax.cond reruns
+    #             the whole loop with exp_fast only when it fired.  Exact
+    #             everywhere with no per-event cond (a loop inside a
+    #             branch cannot be if-converted); ~2x cost in the rare
+    #             rerun case.  The right default if the chip shows
+    #             both-branch cond execution; degrades to both-loops
+    #             under vmap (the flat-tiled batched paths don't vmap).
     replay_exp_mode: str = "cond"
     dtype: str = "float32"
 
@@ -125,9 +133,10 @@ class ModelConfig:
                 raise ValueError("evolve_window_per_row unrolls n/128 "
                                  "re-anchor shifts; n_neurons > 8192 would "
                                  "blow up the kernel body")
-        if self.replay_exp_mode not in ("cond", "small", "fast"):
-            raise ValueError("replay_exp_mode must be 'cond', 'small' or "
-                             f"'fast'; got {self.replay_exp_mode!r}")
+        if self.replay_exp_mode not in ("cond", "small", "fast", "hoisted"):
+            raise ValueError("replay_exp_mode must be 'cond', 'small', "
+                             f"'fast' or 'hoisted'; got "
+                             f"{self.replay_exp_mode!r}")
         if self.n_neurons < 256:
             import warnings
             warnings.warn(

@@ -77,6 +77,8 @@ class _DFCarry(NamedTuple):
     crossed_lo: jax.Array
     crossed: jax.Array       # (R, M) bool
     consistent: jax.Array    # (R,) bool
+    exp_viol: jax.Array      # () bool — any live row past the small-exp
+    #                          bound ("hoisted" mode only; False otherwise)
 
 
 def _cmul(a: D.DF, c: float) -> D.DF:
@@ -304,9 +306,10 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         # schedule-log overflow (n_sched > E: the f32 pass kept running
         # past the buffer, clobbering the last slot) — reject up front
         consistent=n_sched <= E,
+        exp_viol=jnp.asarray(False),
     )
 
-    def body(c: _DFCarry, e_idx, j):
+    def body(c: _DFCarry, e_idx, j, exp_mode: str):
         live = e_idx < n_sched                            # (R,)
         v = D.DF(c.v_hi, c.v_lo)
         s = D.DF(c.s_hi, c.s_lo)
@@ -366,14 +369,24 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         # |z| ~ delta_max * 50 ~ 4e2 (value ~1e18), so garbage never
         # escapes the masks.
         exp_ok = None
-        if cfg.replay_exp_mode == "small":
-            # hardcoded small-arg exp; a live row beyond the bound is
-            # REJECTED via `consistent` (exact-or-rejected semantics — see
-            # ModelConfig.replay_exp_mode)
-            exp_ok = (jnp.max(jnp.abs(z.hi), axis=1)
-                      <= jnp.float32(D.SMALL_EXP_BOUND)) | ~live
+        viol = c.exp_viol
+        if exp_mode in ("small", "small-tracked"):
+            # hardcoded small-arg exp.  "small": a live row beyond the
+            # bound is REJECTED via `consistent` (exact-or-rejected
+            # semantics — see ModelConfig.replay_exp_mode).
+            # "small-tracked" (the "hoisted" mode's first pass): the
+            # violation is accumulated into the scalar `exp_viol` flag
+            # instead, and the caller re-runs the whole loop with
+            # exp_fast when it fires — exact everywhere, no per-event
+            # lax.cond in either loop.
+            in_bound = (jnp.max(jnp.abs(z.hi), axis=1)
+                        <= jnp.float32(D.SMALL_EXP_BOUND)) | ~live
+            if exp_mode == "small":
+                exp_ok = in_bound
+            else:
+                viol = viol | jnp.any(~in_bound)
             e_d = D.exp_small(z)
-        elif cfg.replay_exp_mode == "fast":
+        elif exp_mode == "fast":
             e_d = D.exp_fast(z)
         else:                                   # "cond" (default)
             zmax = delta_max * jnp.max(jnp.where(live, jnp.abs(dt_row.hi),
@@ -419,6 +432,7 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
             crossed=c.crossed | is_cross,
             consistent=(c.consistent & ~(misfire & live)
                         & (exp_ok if exp_ok is not None else True)),
+            exp_viol=viol,
         )
 
     # Bounded while-loop instead of a fixed-length scan: every step past
@@ -435,12 +449,32 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         e, _ = state
         return e < n_live
 
-    def w_body(state):
-        e, c = state
-        j = jax.lax.dynamic_index_in_dim(sched_t, e, axis=0, keepdims=False)
-        return e + jnp.int32(1), body(c, e, j)
+    def run_loop(exp_mode: str) -> _DFCarry:
+        def w_body(state):
+            e, c = state
+            j = jax.lax.dynamic_index_in_dim(sched_t, e, axis=0,
+                                             keepdims=False)
+            return e + jnp.int32(1), body(c, e, j, exp_mode)
 
-    _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), init))
+        _, out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), init))
+        return out
+
+    if cfg.replay_exp_mode == "hoisted":
+        # One exp_small loop with the bound VIOLATION accumulated into a
+        # scalar (no per-event cond); only if some live row ever crossed
+        # the bound is the whole loop redone with the full exp — the
+        # decision is a single top-level lax.cond around a loop, which
+        # cannot be if-converted, so exp_small's win survives even if the
+        # TPU runs in-loop conds both-branch.  Exact everywhere: the
+        # fallback recomputes every event.  (Cost when the bound DOES
+        # trip: ~2x a "fast" run — use "fast" outright for workloads that
+        # live beyond the bound.)
+        out_small = run_loop("small-tracked")
+        out = jax.lax.cond(out_small.exp_viol,
+                           lambda _: run_loop("fast"),
+                           lambda o: o, out_small)
+    else:
+        out = run_loop(cfg.replay_exp_mode)
 
     def times(hi, lo):
         if f64:

@@ -136,8 +136,9 @@ def _check_fd_mode(cfg: NewtonConfig) -> None:
         raise ValueError(
             f"fd_mode {cfg.fd_mode!r} is not supported by the generic "
             "Newton solvers (use 'forward', 'central' or 'exact'; "
-            "'frozen' lives in solvers.staged.newton_solve_frozen and "
-            "analysis.continuation.make_arclength_step_frozen)")
+            "'frozen'/'frozen-fwd' live in solvers.staged."
+            "newton_solve_frozen and analysis.continuation."
+            "make_arclength_step_frozen)")
 
 
 def newton_solve(

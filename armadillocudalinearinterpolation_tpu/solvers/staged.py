@@ -75,8 +75,15 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
         calls sharing ``jit_cache``.
       x0: initial iterate.
       ncfg: solver parameters; ``fd_epsilon`` should be ~1e-5 (set by
-        :func:`newton_solve_staged` when it routes here); ``fd_mode`` is
-        ignored (this IS the mode).
+        :func:`newton_solve_staged` when it routes here).  ``fd_mode``
+        selects the stencil: ``"frozen-fwd"`` = one-sided forward FD —
+        ``n + 1`` stencil points instead of ``2n + 1`` (4/7 the replay
+        rows per iteration at n=3) at ~3e-6 relative Jacobian accuracy
+        (measured N=512 f64 at eps=1e-7; truncation ~30*eps, the df64
+        noise floor only bites below 1e-8) — still far better than
+        Newton needs to converge, while central's ~1.2e-7 floor is the
+        better choice when the exported Jacobian feeds eigenvalue
+        analysis near criticality.  Anything else = central (default).
       jit_cache: optional dict shared across calls — holds the jitted
         schedule-pass and fused-FD programs (the replay trace is ~13 s at
         N=4096; a sweep pays it once).
@@ -85,37 +92,45 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
     test = residual_norm_criterion(ncfg.tolerance)
     n = x0.shape[0]
     dt_ = cfg.jdtype
+    fwd = ncfg.fd_mode == "frozen-fwd"
     # Clamp the radius into the measured-valid window (N=512 f64, relative
     # error of the FD Jacobian vs jacfwd): eps=1e-3 crosses discrete-outcome
-    # boundaries (error ~1, the ROADMAP "staircase" failure), 1e-4 → 5e-5,
-    # 1e-5..1e-7 → ~2.5e-7 (the smooth piece's own curvature floor).  A
-    # default-config fd_epsilon (1e-2, tuned for the fp32 stage) must not
-    # leak in; below 1e-7 the df64 noise floor (~1e-13 abs) starts to bite.
-    eps = jnp.asarray(min(max(ncfg.fd_epsilon, 1e-7), 1e-4), dt_)
-    if ncfg.fd_epsilon > 1e-4 or ncfg.fd_epsilon < 1e-7:
-        eps = jnp.asarray(1e-5, dt_)
+    # boundaries (error ~1, the ROADMAP "staircase" failure); central:
+    # 1e-4 → 5e-5, 1e-5..1e-7 → ~1.2e-7 (the smooth piece's own curvature
+    # floor); forward: truncation ~30*eps (2.99e-5 at 1e-6, 3e-6 at 1e-7),
+    # so its window sits a decade lower.  A default-config fd_epsilon
+    # (1e-2, tuned for the fp32 stage) must not leak in; below the lower
+    # edge the df64 noise floor (~1e-13 abs) starts to bite.
+    lo, hi, dflt = (1e-8, 1e-5, 1e-6) if fwd else (1e-7, 1e-4, 1e-5)
+    eps = jnp.asarray(min(max(ncfg.fd_epsilon, lo), hi), dt_)
+    if ncfg.fd_epsilon > hi or ncfg.fd_epsilon < lo:
+        eps = jnp.asarray(dflt, dt_)
 
     if "sched" not in cache:
         cache["sched"] = jax.jit(
             lambda z, p, k: compute_discrete_outcome(cfg, p, k, z))
-    if "fused" not in cache:
+    fused_key = "fused_fwd" if fwd else "fused"
+    if fused_key not in cache:
         def _fused(z, ep, sched, n_ev, ii, p, k):
             e = ep * jnp.eye(n, dtype=dt_)
-            pts = jnp.concatenate([z[None, :], z[None, :] + e,
-                                   z[None, :] - e])        # (2n+1, n)
-            # flat (2n+1)*R-row replay, NOT vmap(frozen_schedule_map):
+            pts = (jnp.concatenate([z[None, :], z[None, :] + e])  # (n+1, n)
+                   if fwd else
+                   jnp.concatenate([z[None, :], z[None, :] + e,
+                                    z[None, :] - e]))             # (2n+1, n)
+            # flat stencil*R-row replay, NOT vmap(frozen_schedule_map):
             # under vmap the replay's per-event lax.cond runs both exp
             # branches (see frozen_schedule_map_batched)
             vals = frozen_schedule_map_batched(cfg, p, k, pts,
                                                sched, n_ev, ii)
             f = vals[0]
-            jac = (vals[1:n + 1] - vals[n + 1:]).T / (2.0 * ep)
+            jac = ((vals[1:] - f).T / ep if fwd
+                   else (vals[1:n + 1] - vals[n + 1:]).T / (2.0 * ep))
             return f, jac
-        cache["fused"] = jax.jit(_fused)
+        cache[fused_key] = jax.jit(_fused)
 
     def evaluate(z, ep):
         sched, n_ev, ii = cache["sched"](z, params, key)
-        return cache["fused"](z, ep, sched, n_ev, ii, params, key)
+        return cache[fused_key](z, ep, sched, n_ev, ii, params, key)
 
     if ncfg.print_output:
         _print_header(ncfg.max_iterations, ncfg.tolerance)
@@ -135,14 +150,55 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
     converged = bool(test(norm))
     it = 0
 
+    def attempt(x, direction, norm_ref):
+        """Backtracking step trial: full step, then up to 3 halvings while
+        the residual norm grows; returns the best (norm, x, f, jac, norm_a)
+        candidate seen.  A rough fp32 hand-off (small noisy ensembles) can
+        put the first full Newton step far outside the basin — measured at
+        N=512 R=8 sigma=0.1: 2.2e-2 -> 3.9 -> ... -> converged to a
+        genuine but DEGENERATE root (spike position outside the ring) that
+        the polish then certified.  Halving costs one fused evaluation per
+        retry and nothing on the usual monotone path."""
+        best = None
+        scale = float(ncfg.damping)
+        for _ in range(4):
+            x_try = x + jnp.asarray(scale, dt_) * direction
+            f_new, jac_new = evaluate(x_try, eps)
+            if not bool(jnp.all(jnp.isfinite(jac_new))):
+                f_new, jac_new = evaluate(x_try, eps / 8.0)
+            n_try = jnp.linalg.norm(f_new)
+            n_val = float(n_try)
+            # replace a NaN best with any finite candidate (NaN compares
+            # False against everything, so `n_val < best[0]` alone would
+            # keep a NaN first try forever)
+            if (best is None or best[0] != best[0]
+                    or (n_val == n_val and n_val < best[0])):
+                best = (n_val, x_try, f_new, jac_new, n_try)
+            if n_val == n_val and n_val <= norm_ref:
+                break
+            scale *= 0.5
+        return best
+
     while it < ncfg.max_iterations and not converged:
-        direction = solve_dense(jac, -f)
-        x = x + jnp.asarray(ncfg.damping, dt_) * direction
-        f_new, jac_new = evaluate(x, eps)
-        if not bool(jnp.all(jnp.isfinite(jac_new))):
-            f_new, jac_new = evaluate(x, eps / 8.0)
-        f, jac = f_new, jac_new
-        norm = jnp.linalg.norm(f)
+        best = attempt(x, solve_dense(jac, -f), float(norm))
+        if not (best[0] <= float(norm)):
+            # Every backtracked candidate made things worse (or NaN): the
+            # likely culprit is an FD probe that crossed an event-
+            # reordering boundary — a ~1e-3-scale map jump divided by eps
+            # fabricates a huge Jacobian entry (finite, so the isfinite
+            # retry never fires) and the direction is garbage.  Refresh
+            # residual + Jacobian AT x with an 8x tighter radius (8x less
+            # likely to straddle the boundary) and retry the step once;
+            # if that still fails, accept the best candidate seen — on
+            # the jump landscape a transient increase can be unavoidable,
+            # and the capture-range staging hands off to the polish early
+            # anyway.
+            f_r, jac_r = evaluate(x, eps / 8.0)
+            if bool(jnp.all(jnp.isfinite(jac_r))):
+                best_r = attempt(x, solve_dense(jac_r, -f_r), float(norm))
+                if best_r[0] == best_r[0] and not (best_r[0] >= best[0]):
+                    best = best_r
+        _, x, f, jac, norm = best
         it += 1
         history.append(float(norm))
         if ncfg.print_output:
@@ -186,8 +242,10 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         :func:`newton_solve_frozen` — fused residual + frozen-schedule FD
         Jacobian in one batched launch, jacfwd-grade accuracy (~3e-7
         relative agreement) at a fraction of the cost and with no JVP
-        requirement; ``fd_mode="central"`` for plain central FD on the
-        full map.
+        requirement; ``fd_mode="frozen-fwd"`` for its one-sided stencil
+        (4/7 the replay rows, ~3e-6 Jacobian accuracy — right for
+        warm-started sweeps); ``fd_mode="central"`` for plain central FD
+        on the full map.
       stage2_tolerance: override for the stage-2 stopping norm
         (default ``5 * tolerance``).
       polish_iterations: frozen-Jacobian polish budget (each is one map
@@ -304,12 +362,12 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     def accurate_solve(x_start):
         """df64 Newton + frozen-Jacobian polish from ``x_start``; returns
         ``(pol, jac, iters)`` with every program drawn from ``sub``."""
-        if stage2_ncfg.fd_mode == "frozen":
+        if stage2_ncfg.fd_mode in ("frozen", "frozen-fwd"):
             # fused residual + frozen-schedule FD Jacobian (one schedule
-            # pass + one (2n+1)-wide batched replay per iteration); its
-            # residual IS the replay residual, consistent with the polish
-            # below when evolve_backend == "replay" (the default — "auto"/
-            # "pallas" resolve there above)
+            # pass + one (2n+1)- or (n+1)-wide batched replay per
+            # iteration); its residual IS the replay residual, consistent
+            # with the polish below when evolve_backend == "replay" (the
+            # default — "auto"/"pallas" resolve there above)
             res = newton_solve_frozen(cfg, params, key, x_start,
                                       stage2_ncfg, jit_cache=sub)
         else:
@@ -322,9 +380,10 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         if not bool(jnp.all(jnp.isfinite(x2))):
             x2 = x_start
         jac = res.jacobian
-        if int(res.iterations) == 0 and stage2_ncfg.fd_mode != "frozen":
-            # (frozen mode is exempt: its fused launch always computes a
-            # real Jacobian, even on a 0-iteration solve)
+        if (int(res.iterations) == 0
+                and stage2_ncfg.fd_mode not in ("frozen", "frozen-fwd")):
+            # (the frozen modes are exempt: their fused launch always
+            # computes a real Jacobian, even on a 0-iteration solve)
             # Newton met ITS (capture-range) tolerance at entry without a
             # single step, so it exported the identity placeholder —
             # useless to the polish (which would stall above the final
@@ -346,21 +405,46 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                                      jit_cache=sub, F_args=(params, key))
         return pol, jac, int(res.iterations) + int(pol.iterations)
 
+    def _in_domain(z) -> bool:
+        """Gauge-domain validity of a root: the map fixes spike 1 at 0
+        (``z_to_u``), so a PHYSICAL traveling-wave solution keeps a
+        positive wave speed and its free spike positions inside the
+        ring's unwrapped period ``(0, 2L)``.  The map being ring-periodic,
+        an out-of-domain root is at best an alias of an in-domain one —
+        and in practice a degenerate artifact: measured at N=512 R=8
+        sigma=0.1, a rough fp32 hand-off sat ON a discrete-outcome
+        boundary (local smooth-piece Jacobian entries ~17 vs ~6 one step
+        away), stage 2 escaped the basin and the polish certified a
+        GENUINE root at z = (0.49, 0.58, 11.07) — |F| = 3e-13, spike
+        position 11.07 > 2L = 6, nearly 10 away from the caller's guess."""
+        import numpy as np
+        zz = np.asarray(z)
+        return bool(np.all(np.isfinite(zz)) and zz[0] > 0.0
+                    and np.all(zz[1:] > 0.0)
+                    and np.all(zz[1:] < 2.0 * cfg.half_width))
+
     pol, jac, acc_iters = accurate_solve(handoff)
-    if not (float(pol.residual_norm) <= tolerance) and stage1_iters > 0:
+    if ((not (float(pol.residual_norm) <= tolerance)
+         or not _in_domain(pol.solution)) and stage1_iters > 0):
         # Rescue pass: on rough small-ensemble landscapes the fp32 stage
         # can hand off into the wrong basin (observed at N=512, R=8 with a
-        # cold guess 0.2 away in beta).  Re-solve from the CALLER'S guess
-        # on the accurate backend — slower per iteration but basin-faithful
-        # — and keep whichever result is deeper.  Skipped when stage 1
-        # already started there (stage1_iters == 0 fallback).  The guard
-        # is NaN-inclusive (`not <=`, NOT `>`): an all-rejected map
+        # cold guess 0.2 away in beta) or stage 2 can escape to an
+        # out-of-domain degenerate root (see _in_domain).  Re-solve from
+        # the CALLER'S guess on the accurate backend — slower per
+        # iteration but basin-faithful.  Skipped when stage 1 already
+        # started there (stage1_iters == 0 fallback).  The convergence
+        # guard is NaN-inclusive (`not <=`, NOT `>`): an all-rejected map
         # returns a NaN norm, exactly the hand-off the rescue exists for.
         pol_r, jac_r, iters_r = accurate_solve(Z0.astype(dt_acc))
         acc_iters += iters_r
         nr, n0 = float(pol_r.residual_norm), float(pol.residual_norm)
-        if nr < n0 or (nr == nr and n0 != n0):  # deeper, or rescue is
-            pol, jac = pol_r, jac_r             # finite where pol is NaN
+        # an in-domain converged rescue beats an out-of-domain result
+        # outright; otherwise deeper residual wins (NaN-aware)
+        if (nr <= tolerance and _in_domain(pol_r.solution)
+                and not _in_domain(pol.solution)):
+            pol, jac = pol_r, jac_r
+        elif nr < n0 or (nr == nr and n0 != n0):  # deeper, or rescue is
+            pol, jac = pol_r, jac_r               # finite where pol is NaN
 
     # convenience handle for callers (bench's independent residual check):
     # the accurate-backend residual at THIS call's (params, key), through

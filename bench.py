@@ -433,29 +433,75 @@ def bench_newton_1e8():
     # with ONE batched 7-point frozen-outcome replay per iteration.
     # Measured to decide the staged default; fail-soft so a compile issue
     # here never takes down the exact-mode numbers above.
-    t_frozen = norm_frozen = None
-    try:
-        from armadillocudalinearinterpolation_tpu import NewtonConfig
-        ncfg_f = NewtonConfig(tolerance=5e-8, max_iterations=6,
-                              fd_mode="frozen", fd_epsilon=1e-5)
-        jits_f = {}
-        pol_fc = newton_solve_staged(cfg64, params64, key, Z0,
-                                     tolerance=1e-8, stage2_ncfg=ncfg_f,
-                                     jit_cache=jits_f)
-        t0 = time.perf_counter()
-        pol_f = newton_solve_staged(cfg64, params64, key,
-                                    Z0 + jnp.float32(1e-3),
-                                    tolerance=1e-8, stage2_ncfg=ncfg_f,
-                                    jit_cache=jits_f)
-        t_frozen = time.perf_counter() - t0
-        norm_frozen = max(float(pol_f.residual_norm),
-                          float(pol_fc.residual_norm))
-    except Exception as e:
-        norm_frozen = "error: " + str(e)[:160]
+    frozen = {}
+    for mode, ep in (("frozen", 1e-5), ("frozen-fwd", 1e-6)):
+        # "frozen-fwd" = the one-sided stencil: (n+1) replay rows per
+        # iteration instead of (2n+1) — measured here beside central to
+        # decide the staged default for sweeps
+        try:
+            from armadillocudalinearinterpolation_tpu import NewtonConfig
+            ncfg_f = NewtonConfig(tolerance=5e-8, max_iterations=6,
+                                  fd_mode=mode, fd_epsilon=ep)
+            jits_f = {}
+            pol_fc = newton_solve_staged(cfg64, params64, key, Z0,
+                                         tolerance=1e-8, stage2_ncfg=ncfg_f,
+                                         jit_cache=jits_f)
+            t0 = time.perf_counter()
+            pol_f = newton_solve_staged(cfg64, params64, key,
+                                        Z0 + jnp.float32(1e-3),
+                                        tolerance=1e-8, stage2_ncfg=ncfg_f,
+                                        jit_cache=jits_f)
+            frozen[mode] = (time.perf_counter() - t0,
+                            max(float(pol_f.residual_norm),
+                                float(pol_fc.residual_norm)))
+        except Exception as e:
+            frozen[mode] = (None, "error: " + str(e)[:160])
 
     return (t_solve, t_cold, iters,
             max(float(pol.residual_norm), float(pol_cold.residual_norm)),
-            d_emu, t_frozen, norm_frozen, t_replay_eval)
+            d_emu, frozen, t_replay_eval)
+
+
+def bench_replay_exp_modes():
+    """ROADMAP on-chip A/B: the df64 replay's small-exp strategy.
+
+    Times one warm df64-replay map evaluation (f32 Pallas schedule pass +
+    replay scan) at N=4096, R=64, sigma=0.1 for every
+    ``ModelConfig.replay_exp_mode``.  Decides whether TPU ``lax.cond``
+    inside the replay loop executes both branches — if so, 'cond' times
+    like 'fast' and 'hoisted'/'small' are the fix; if it branches for
+    real, 'cond' times like 'small' and stays the default.  Residual
+    deltas vs 'cond' are recorded so a fast-but-wrong mode can never pass
+    silently.
+    """
+    from armadillocudalinearinterpolation_tpu import (
+        ModelConfig, MapParams, make_residual_fn)
+
+    jax.config.update("jax_enable_x64", True)
+    key = jax.random.PRNGKey(0)
+    z = jnp.array([0.3310, 0.6914, 1.3557], jnp.float64)
+    params = MapParams.create(13.0589, 0.1, dtype="float64")
+    out = {}
+    ref = None
+    for mode in ("cond", "small", "fast", "hoisted"):
+        cfg = ModelConfig(n_neurons=4096, n_real=64, dtype="float64",
+                          root_tol=1e-12, evolve_window=512,
+                          max_events=4096, replay_exp_mode=mode)
+        F = jax.jit(make_residual_fn(cfg, params, key,
+                                     evolve_backend="replay"))
+        r = F(z)                                   # trace + compile, warm up
+        delta = None if ref is None else \
+            float(jnp.max(jnp.abs(r - ref)))
+        if ref is None:
+            ref = r
+        ts = []
+        for k in range(5):
+            z_e = z + (k + 1) * 1e-7               # fresh solve, same program
+            t0 = time.perf_counter()
+            float(jnp.sum(F(z_e)))                  # host readback = real sync
+            ts.append(time.perf_counter() - t0)
+        out[mode] = (round(min(ts) * 1e3, 1), delta)
+    return out
 
 
 def bench_sweep_100pt():
@@ -622,18 +668,31 @@ def main():
     try:
         _stage("newton_1e8")
         (t_solve, t_cold, iters, norm, d_emu,
-         t_frozen, norm_frozen, t_replay_eval) = bench_newton_1e8()
+         frozen, t_replay_eval) = bench_newton_1e8()
         extras["newton_N4096_s"] = round(t_solve, 2)
         extras["replay_eval_N4096_ms"] = round(t_replay_eval * 1e3, 1)
         extras["newton_N4096_cold_s"] = round(t_cold, 2)
         extras["newton_iters"] = iters
         extras["newton_final_norm"] = norm
         extras["replay_vs_f64emu_residual_delta"] = d_emu
-        if t_frozen is not None:
-            extras["newton_frozen_N4096_s"] = round(t_frozen, 2)
-        extras["newton_frozen_final_norm"] = norm_frozen
+        for mode, (t_f, norm_f) in frozen.items():
+            tag = "newton_frozen_fwd" if mode == "frozen-fwd" \
+                else "newton_frozen"
+            if t_f is not None:
+                extras[f"{tag}_N4096_s"] = round(t_f, 2)
+            extras[f"{tag}_final_norm"] = norm_f
     except Exception as e:
         extras["newton_error"] = str(e)[:200]
+
+    try:
+        _stage("replay_exp_modes")
+        for mode, (t_ms, delta) in bench_replay_exp_modes().items():
+            tag = mode.replace("-", "_")
+            extras[f"replay_exp_{tag}_ms"] = t_ms
+            if delta is not None:
+                extras[f"replay_exp_{tag}_delta"] = delta
+    except Exception as e:
+        extras["replay_exp_error"] = str(e)[:200]
 
     def _json_safe(d):
         # a NaN metric (invalid timing, see profiling.chained_slope) must

@@ -160,7 +160,7 @@ def test_replay_exp_modes(cfg, pieces):
             c, s, res64.n_events if n is None else n, v0, s0, b, init_ind))()
 
     ref = run("cond")
-    for mode in ("small", "fast"):
+    for mode in ("small", "fast", "hoisted"):
         rep = run(mode)
         assert bool(jnp.all(rep.accept == ref.accept)), mode
         assert float(jnp.max(jnp.abs(rep.crossed_time - ref.crossed_time))) \
@@ -176,10 +176,13 @@ def test_replay_exp_modes(cfg, pieces):
                                              init_ind,
                                              record_schedule=cfg.max_events)
     ref_w = run("cond", b=beta_w, s=sched_w, n=res_w.n_events)
-    fast_w = run("fast", b=beta_w, s=sched_w, n=res_w.n_events)
-    assert bool(jnp.all(fast_w.accept == ref_w.accept))
-    assert float(jnp.max(jnp.abs(fast_w.crossed_time - ref_w.crossed_time))) \
-        < 1e-10
+    for mode in ("fast", "hoisted"):
+        # both are exact everywhere — "hoisted" must have taken its
+        # whole-loop exp_fast rerun here (the bound trips on this batch)
+        m_w = run(mode, b=beta_w, s=sched_w, n=res_w.n_events)
+        assert bool(jnp.all(m_w.accept == ref_w.accept)), mode
+        assert float(jnp.max(jnp.abs(m_w.crossed_time
+                                     - ref_w.crossed_time))) < 1e-10, mode
     small_w = run("small", b=beta_w, s=sched_w, n=res_w.n_events)
     # every row crossing the bound is rejected; none is silently wrong
     assert not bool(jnp.any(small_w.accept & ~ref_w.accept))

@@ -122,6 +122,48 @@ def test_frozen_fd_matches_jacfwd_and_solves(key):
     assert rel0 < 1e-5, rel0
 
 
+def test_frozen_fwd_stencil(key):
+    """fd_mode='frozen-fwd': the one-sided (n+1)-point stencil variant.
+
+    Standalone: converges to the same root as central from the Driver.cu
+    guess.  Staged: at this rough small-ensemble config the fp32 hand-off
+    sits ON a discrete-outcome boundary and stage 2 once escaped to a
+    GENUINE but out-of-gauge-domain root (spike position 11.07 > 2L) —
+    the staged rescue's domain guard must reject it and return the
+    physical root near the guess."""
+    from armadillocudalinearinterpolation_tpu.model.emap import \
+        make_residual_fn as mk
+
+    cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    params = MapParams.create(13.0589, 0.1, dtype="float64")
+    res_f = newton_solve_frozen(
+        cfg, params, key, Z0,
+        NewtonConfig(tolerance=5e-8, max_iterations=8, fd_mode="frozen-fwd",
+                     fd_epsilon=1e-6))
+    res_c = newton_solve_frozen(
+        cfg, params, key, Z0,
+        NewtonConfig(tolerance=5e-8, max_iterations=8, fd_mode="frozen",
+                     fd_epsilon=1e-5))
+    assert bool(res_f.converged) and bool(res_c.converged)
+    np.testing.assert_allclose(np.asarray(res_f.solution),
+                               np.asarray(res_c.solution), atol=1e-6)
+
+    ncfg2 = NewtonConfig(tolerance=5e-8, max_iterations=6,
+                         fd_mode="frozen-fwd", fd_epsilon=1e-6)
+    res = newton_solve_staged(cfg, params, key, Z0, tolerance=1e-8,
+                              stage2_ncfg=ncfg2)
+    assert bool(res.converged)
+    sol = np.asarray(res.solution)
+    assert sol[0] > 0 and np.all(sol[1:] > 0) \
+        and np.all(sol[1:] < 2 * cfg.half_width), sol
+    # same basin as the direct frozen solve from the same guess
+    np.testing.assert_allclose(sol, np.asarray(res_c.solution), atol=1e-2)
+    # and the root checks out through an independent compiled replay oracle
+    F = jax.jit(mk(cfg, params, key, evolve_backend="replay"))
+    assert float(jnp.linalg.norm(F(res.solution))) < 1.5e-8
+
+
 def test_staged_solve_reaches_target(key):
     # sigma=0: the deterministic map — at R=8 the heterogeneous map's FD
     # landscape is too rough for the fp32 stage to hand off cleanly (the
