@@ -563,7 +563,37 @@ def bench_sweep_100pt():
     return t / n_steps, n_conv, unstable
 
 
+def _backend_alive(timeout_s: float = 420.0) -> bool:
+    """Probe the device backend in a subprocess with a hard timeout.
+
+    The axon tunnel can be down for many hours at a stretch, and when it
+    is, ``jax.devices()`` HANGS (no error) — observed 2026-08-17/18, 24+ h.
+    A dead tunnel must degrade this run to a fast, parseable error record,
+    never an unbounded hang that leaves no bench output at all.  The probe
+    subprocess resolves the platform exactly the way this process would.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        print("[bench] device backend unreachable (tunnel down?); "
+              "emitting error record", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "batched_2d_bilinear_interp", "value": 0.0,
+            "unit": "Mqueries/s", "vs_baseline": 0.0,
+            "error": "device backend unreachable: jax.devices() probe "
+                     "timed out (axon tunnel down)"}))
+        return
+
     extras = {}
     # The fully-f64 on-chip Newton stage needs x64 enabled before any trace;
     # every fp32 kernel (incl. Pallas, traced with 32-bit semantics pinned)

@@ -236,6 +236,14 @@ def test_jacfwd_through_replay_matches_fd(cfg):
     J_fd = central_fd_jacobian(F_ref, Z64, 1e-6)
     assert float(jnp.max(jnp.abs(J_exact - J_fd))) < 1e-4
 
+    # the "hoisted" exp mode's top-level cond (while_loop inside a branch)
+    # must stay forward-differentiable AND numerically identical: at this
+    # sigma the bound never trips, so its jacfwd IS the exp_small loop's
+    F_h = make_residual_fn(cfg.with_(replay_exp_mode="hoisted"), params,
+                           KEY, evolve_backend="replay")
+    J_h = jax.jacfwd(F_h)(Z64)
+    assert float(jnp.max(jnp.abs(J_h - J_exact))) < 1e-10
+
 
 def test_newton_converges_on_replay_backend(cfg):
     """Exact-mode Newton on the replay backend: the differentiable fast
