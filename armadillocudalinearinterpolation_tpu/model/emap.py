@@ -223,7 +223,9 @@ def frozen_schedule_map_batched(cfg: ModelConfig, params: MapParams,
                                 key: jax.Array, Zs: jax.Array,
                                 schedule: jax.Array, n_sched: jax.Array,
                                 init_ind: jax.Array, *,
-                                params_batched: bool = False) -> jax.Array:
+                                params_batched: bool = False,
+                                row_mesh=None,
+                                row_axis: str = "real") -> jax.Array:
     """:func:`frozen_schedule_map` over a ``(P, n)`` stack of points sharing
     ONE frozen outcome — a flat ``(P * n_real)``-row replay, not a vmap.
 
@@ -246,6 +248,16 @@ def frozen_schedule_map_batched(cfg: ModelConfig, params: MapParams,
       Zs: ``(P, n_spikes)`` evaluation points.
       schedule, n_sched, init_ind: one frozen discrete outcome from
         :func:`compute_discrete_outcome`, shared by all points.
+      row_mesh: optional :class:`jax.sharding.Mesh` — shard the flat
+        ``P * n_real`` row axis over its ``row_axis`` dimension (GSPMD
+        constraint).  The replay scan is row-parallel end to end (lane
+        reductions stay within a row), so the loop body needs ZERO
+        collectives; the only communication is the final per-point
+        masked mean over realisations (one small all-reduce over ICI).
+        This is the multi-chip scale-out of the fused frozen-FD Jacobian:
+        the ``(2n+1)`` (or ``(n+1)``) stencil replays spread across the
+        mesh like extra realisations.
+      row_axis: mesh axis name for the row dimension (default ``"real"``).
 
     Returns:
       ``(P, n_spikes)`` residuals, row ``i`` equal to
@@ -266,12 +278,24 @@ def frozen_schedule_map_batched(cfg: ModelConfig, params: MapParams,
     beta_s, Us, v0s, s0s = jax.vmap(
         prep, in_axes=(0, 0 if params_batched else None))(Zs, params)
     P, R = beta_s.shape[0], beta_s.shape[1]
+
+    if row_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def cst(x):
+            spec = PartitionSpec(row_axis, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(row_mesh, spec))
+    else:
+        def cst(x):
+            return x
+
     res = replay_events(cfg,
-                        jnp.tile(schedule, (P, 1)),
-                        jnp.tile(n_sched, (P,)),
-                        jnp.repeat(v0s, R, axis=0),
-                        jnp.repeat(s0s, R, axis=0),
-                        beta_s.reshape(P * R, -1),
+                        cst(jnp.tile(schedule, (P, 1))),
+                        cst(jnp.tile(n_sched, (P,))),
+                        cst(jnp.repeat(v0s, R, axis=0)),
+                        cst(jnp.repeat(s0s, R, axis=0)),
+                        cst(beta_s.reshape(P * R, -1)),
                         init_ind)
     positions = restrict_positions(cfg, res)              # (P*R, M)
     M = positions.shape[-1]

@@ -42,7 +42,8 @@ from .newton import (NewtonResult, frozen_jacobian_polish, newton_solve,
 
 def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
                         x0: jax.Array, ncfg: NewtonConfig, *,
-                        jit_cache: Optional[dict] = None) -> NewtonResult:
+                        jit_cache: Optional[dict] = None,
+                        mesh=None, mesh_axis: str = "real") -> NewtonResult:
     """Host-driven Newton on the replay backend with a FUSED residual +
     frozen-schedule central-FD Jacobian — jacfwd accuracy without jacfwd.
 
@@ -87,6 +88,15 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
       jit_cache: optional dict shared across calls — holds the jitted
         schedule-pass and fused-FD programs (the replay trace is ~13 s at
         N=4096; a sweep pays it once).
+      mesh: optional :class:`jax.sharding.Mesh` — shard the fused stencil
+        replay's flat ``stencil * n_real`` row axis over ``mesh_axis``
+        (GSPMD; see :func:`..model.emap.frozen_schedule_map_batched`).
+        The stencil spreads across chips like extra realisations: the
+        replay loop itself needs no collectives, so the fused
+        residual-plus-Jacobian launch scales out over ICI.  A solve with
+        ``mesh`` keys its own programs in ``jit_cache`` (suffix
+        ``@mesh``) — a shared cache can serve both forms.
+      mesh_axis: mesh axis name for the rows (default ``"real"``).
     """
     cache = jit_cache if jit_cache is not None else {}
     test = residual_norm_criterion(ncfg.tolerance)
@@ -109,7 +119,8 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
     if "sched" not in cache:
         cache["sched"] = jax.jit(
             lambda z, p, k: compute_discrete_outcome(cfg, p, k, z))
-    fused_key = "fused_fwd" if fwd else "fused"
+    fused_key = ("fused_fwd" if fwd else "fused") \
+        + ("@mesh" if mesh is not None else "")
     if fused_key not in cache:
         def _fused(z, ep, sched, n_ev, ii, p, k):
             e = ep * jnp.eye(n, dtype=dt_)
@@ -121,7 +132,9 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
             # under vmap the replay's per-event lax.cond runs both exp
             # branches (see frozen_schedule_map_batched)
             vals = frozen_schedule_map_batched(cfg, p, k, pts,
-                                               sched, n_ev, ii)
+                                               sched, n_ev, ii,
+                                               row_mesh=mesh,
+                                               row_axis=mesh_axis)
             f = vals[0]
             jac = ((vals[1:] - f).T / ep if fwd
                    else (vals[1:n + 1] - vals[n + 1:]).T / (2.0 * ep))

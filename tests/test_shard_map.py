@@ -69,6 +69,41 @@ def test_shard_map_rejects_indivisible_ensemble(key, mesh8):
         make_shard_map_residual_fn(cfg, params, key, mesh8)
 
 
+def test_frozen_stencil_sharded_matches_unsharded(key, z_ref, mesh8):
+    """The fused frozen-FD stencil replay with its flat stencil*R row axis
+    sharded over the mesh (GSPMD constraint, zero in-loop collectives) must
+    match the unsharded launch to reduction-order rounding — and a
+    mesh-sharded ``newton_solve_frozen`` must converge to the same root as
+    the unsharded one.  This is the multi-chip form of the staged solver's
+    accurate stage (the stencil spreads over ICI like extra realisations)."""
+    from armadillocudalinearinterpolation_tpu.model.emap import (
+        compute_discrete_outcome, frozen_schedule_map_batched)
+    from armadillocudalinearinterpolation_tpu.solvers.staged import (
+        newton_solve_frozen)
+
+    cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    params = MapParams.create(13.0589, 0.1, dtype="float64")
+    sched, n_ev, ii = jax.jit(
+        lambda z: compute_discrete_outcome(cfg, params, key, z))(z_ref)
+    e = 1e-5 * jnp.eye(3, dtype=jnp.float64)
+    pts = jnp.concatenate([z_ref[None], z_ref[None] + e, z_ref[None] - e])
+    f_u = jax.jit(lambda p: frozen_schedule_map_batched(
+        cfg, params, key, p, sched, n_ev, ii))(pts)
+    f_s = jax.jit(lambda p: frozen_schedule_map_batched(
+        cfg, params, key, p, sched, n_ev, ii, row_mesh=mesh8))(pts)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_u),
+                               rtol=0, atol=1e-13)
+
+    ncfg = NewtonConfig(tolerance=5e-8, max_iterations=8,
+                        fd_mode="frozen", fd_epsilon=1e-5)
+    res_s = newton_solve_frozen(cfg, params, key, z_ref, ncfg, mesh=mesh8)
+    res_u = newton_solve_frozen(cfg, params, key, z_ref, ncfg)
+    assert bool(res_s.converged) and bool(res_u.converged)
+    np.testing.assert_allclose(np.asarray(res_s.solution),
+                               np.asarray(res_u.solution), atol=1e-8)
+
+
 @pytest.mark.slow
 def test_shard_map_newton_converges(key, z_ref, mesh8):
     cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64")
