@@ -92,12 +92,14 @@ def differentiable_backend(evolve_backend: str) -> str:
 
 def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
                  beta: jax.Array, *, use_pallas: bool = False,
-                 use_replay: bool = False):
+                 use_replay: bool = False, schedule_backend: str = "auto"):
     """The lift -> evolve -> restrict stages shared by every map variant.
 
     Returns ``(U, init_ind, v0, s0, evolve_result, positions)``; callers
     differ only in how they produce ``beta`` (plain / sharding-constrained /
     per-device) and how they reduce ``positions`` (local mean / psum).
+    ``schedule_backend`` pins the replay's f32 discovery pass — GSPMD
+    callers pass ``"xla"`` (a ``pallas_call`` cannot be partitioned).
     """
     Z = Z.astype(cfg.jdtype)   # seed indices and lift from the SAME precision
     U = z_to_u(Z)
@@ -107,7 +109,8 @@ def run_pipeline(cfg: ModelConfig, params: MapParams, Z: jax.Array,
         # two-pass f32-schedule + df64-replay evolve: f64-grade times at
         # f32 hardware speed, differentiable (model/replay.py)
         from .replay import evolve_ensemble_replay
-        res = evolve_ensemble_replay(cfg, v0, s0, beta, init_ind)
+        res = evolve_ensemble_replay(cfg, v0, s0, beta, init_ind,
+                                     schedule_backend=schedule_backend)
     elif use_pallas:
         from .evolve_pallas import evolve_ensemble_pallas
         res = evolve_ensemble_pallas(cfg, v0, s0, beta, init_ind)

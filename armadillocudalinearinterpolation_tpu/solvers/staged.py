@@ -236,7 +236,8 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                         stage2_tolerance: Optional[float] = None,
                         polish_iterations: int = 24,
                         evolve_backend: str = "replay",
-                        jit_cache: Optional[dict] = None) -> NewtonResult:
+                        jit_cache: Optional[dict] = None,
+                        mesh=None, mesh_axis: str = "real") -> NewtonResult:
     """Solve the event-driven map to ``tolerance`` via the staged recipe.
 
     Args:
@@ -275,6 +276,17 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         derived from ``tolerance``), the stage configs, and the backend
         must be identical on every call — enforced with a ``ValueError``
         (the cached programs bake them in).
+      mesh: optional :class:`jax.sharding.Mesh` — run the WHOLE recipe
+        with the realisation ensemble sharded over ``mesh_axis`` (GSPMD):
+        the fp32 stage's map constrains its ``beta`` rows (XLA evolve —
+        a ``pallas_call`` cannot be partitioned), the frozen stage shards
+        its fused stencil rows (:func:`newton_solve_frozen` ``mesh``),
+        and the accurate residual behind the exact stage and the polish
+        constrains its ensemble the same way.  GSPMD partitions the SAME
+        traced program, so results match the unsharded solve to
+        reduction-order rounding; the replay's f32 schedule pass is
+        pinned to the XLA backend under a mesh.
+      mesh_axis: mesh axis name for realisations (default ``"real"``).
 
     Returns:
       :class:`NewtonResult` whose ``solution``/``residual_norm`` come
@@ -333,17 +345,43 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     # The cached programs bake in everything below — a cache built under a
     # different identity would silently solve the wrong problem (e.g. a
     # tightened `tolerance` changes root_tol inside cfg).  Fail loudly.
-    ident = (cfg, evolve_backend, stage1_ncfg, stage2_ncfg)
+    ident = (cfg, evolve_backend, stage1_ncfg, stage2_ncfg, mesh, mesh_axis)
     if cache.setdefault("_identity", ident) != ident:
         raise ValueError(
             "jit_cache was built for a different (cfg, evolve_backend, "
-            "stage configs) — including the root_tol derived from "
+            "stage configs, mesh) — including the root_tol derived from "
             "`tolerance`.  Use a fresh cache for a different setup.")
 
+    if mesh is not None:
+        from ..parallel.sharding import ensemble_constraint
+        from ..model import emap as _emap
+        from ..model.restrict import masked_ensemble_mean
+
+        def _sharded_map_fn(cfg_, backend):
+            """(z, p, k) -> f with the ensemble GSPMD-constrained: the same
+            traced map as ``event_driven_map``, partitioned by XLA."""
+            cst = ensemble_constraint(mesh, mesh_axis)
+
+            def _F(z, p, k):
+                beta = cst(_emap.sample_beta(cfg_, p, k))
+                U, _, _, _, res, positions = _emap.run_pipeline(
+                    cfg_, p, z, beta, use_replay=backend == "replay",
+                    schedule_backend="xla")
+                u_mean, _ = masked_ensemble_mean(positions, res.accept)
+                return _emap.assemble_residual(cfg_, U, u_mean)
+            return _F
+
     if "stage1" not in cache:
-        def _stage1(z, p, k):
-            return newton_solve(make_residual_fn(cfg32, p, k), z,
-                                stage1_ncfg)
+        if mesh is None:
+            def _stage1(z, p, k):
+                return newton_solve(make_residual_fn(cfg32, p, k), z,
+                                    stage1_ncfg)
+        else:
+            _F32 = _sharded_map_fn(cfg32, "xla")
+
+            def _stage1(z, p, k):
+                return newton_solve(lambda zz: _F32(zz, p, k), z,
+                                    stage1_ncfg)
         cache["stage1"] = jax.jit(_stage1)
     r32 = cache["stage1"](Z0.astype(jnp.float32), params32, key)
     jax.block_until_ready(r32.solution)
@@ -365,9 +403,12 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     # closing over them would bake this step's values into the cached
     # jaxprs as constants and silently pin a sweep to step 0's map.
     if "F_acc" not in cache:
-        def _F_acc(z, p, k):
-            return event_driven_map(cfg, p, k, z,
-                                    evolve_backend=evolve_backend)
+        if mesh is None:
+            def _F_acc(z, p, k):
+                return event_driven_map(cfg, p, k, z,
+                                        evolve_backend=evolve_backend)
+        else:
+            _F_acc = _sharded_map_fn(cfg, evolve_backend)
         cache["F_acc"] = _F_acc
     F_acc = cache["F_acc"]
     sub = cache.setdefault("stage2_cache", {})
@@ -382,7 +423,8 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
             # with the polish below when evolve_backend == "replay" (the
             # default — "auto"/"pallas" resolve there above)
             res = newton_solve_frozen(cfg, params, key, x_start,
-                                      stage2_ncfg, jit_cache=sub)
+                                      stage2_ncfg, jit_cache=sub,
+                                      mesh=mesh, mesh_axis=mesh_axis)
         else:
             res = newton_solve_host(F_acc, x_start, stage2_ncfg,
                                     jit_cache=sub, F_args=(params, key))

@@ -104,6 +104,35 @@ def test_frozen_stencil_sharded_matches_unsharded(key, z_ref, mesh8):
                                np.asarray(res_u.solution), atol=1e-8)
 
 
+def test_staged_solve_sharded_matches_unsharded(key, z_ref, mesh8):
+    """newton_solve_staged(mesh=...): the WHOLE hybrid-precision recipe
+    with the ensemble GSPMD-sharded (fp32 stage, fused frozen stencil,
+    polish) must find the same root as the unsharded call — GSPMD
+    partitions the same traced programs, so only reduction-order rounding
+    differs."""
+    from armadillocudalinearinterpolation_tpu import newton_solve_staged
+
+    cfg = ModelConfig(n_neurons=512, n_real=16, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    params = MapParams.create(13.0589, 0.1, dtype="float64")
+    ncfg2 = NewtonConfig(tolerance=5e-7, max_iterations=6,
+                         fd_mode="frozen", fd_epsilon=1e-5)
+    cache = {}
+    res_s = newton_solve_staged(cfg, params, key, z_ref, tolerance=1e-7,
+                                stage2_ncfg=ncfg2, mesh=mesh8,
+                                jit_cache=cache)
+    res_u = newton_solve_staged(cfg, params, key, z_ref, tolerance=1e-7,
+                                stage2_ncfg=ncfg2)
+    assert bool(res_s.converged) and bool(res_u.converged)
+    np.testing.assert_allclose(np.asarray(res_s.solution),
+                               np.asarray(res_u.solution), atol=1e-7)
+    # a cache built WITH a mesh must reject a meshless call (the identity
+    # check raises before any compute)
+    with pytest.raises(ValueError, match="different"):
+        newton_solve_staged(cfg, params, key, z_ref, tolerance=1e-7,
+                            stage2_ncfg=ncfg2, jit_cache=cache)
+
+
 @pytest.mark.slow
 def test_shard_map_newton_converges(key, z_ref, mesh8):
     cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64")
