@@ -147,7 +147,8 @@ def _params_of(param: str, p, fixed, dt_):
 
 
 def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
-                               param: str, ncfg: NewtonConfig):
+                               param: str, ncfg: NewtonConfig, *,
+                               mesh=None, mesh_axis: str = "real"):
     """Host-driven bordered corrector with a fused frozen-outcome FD
     Jacobian — drop-in for :func:`make_arclength_step_jit` when
     ``ncfg.fd_mode == "frozen"``.
@@ -167,7 +168,10 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
     The evolve backend is implicit (the frozen map evaluates the df64
     replay); the outer loop runs on the host with one short device program
     per step — the same bounded-dispatch rationale as
-    :func:`..solvers.newton.newton_solve_host`.
+    :func:`..solvers.newton.newton_solve_host`.  ``mesh`` shards the fused
+    stencil's flat row axis over ``mesh_axis`` (GSPMD; see
+    :func:`..model.emap.frozen_schedule_map_batched`) — multi-chip
+    boundary/branch walks.
     """
     from ..model.emap import (compute_discrete_outcome,
                               frozen_schedule_map_batched)
@@ -201,7 +205,8 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
             lambda t: _params_of(param, t, fixed, dt_))(pts[:, -1])
         Fv = frozen_schedule_map_batched(cfg, params_s, key, pts[:, :-1],
                                          sched, n_ev, ii,
-                                         params_batched=True)
+                                         params_batched=True,
+                                         row_mesh=mesh, row_axis=mesh_axis)
         JF = (Fv[1:n1 + 1] - Fv[n1 + 1:]).T / (2.0 * ep)     # (n, n1)
         arc = jnp.dot(y - y_prev, tangent) - ds
         G = jnp.concatenate([Fv[0], arc[None].astype(Fv.dtype)])

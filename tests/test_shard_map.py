@@ -133,6 +133,30 @@ def test_staged_solve_sharded_matches_unsharded(key, z_ref, mesh8):
                             stage2_ncfg=ncfg2, jit_cache=cache)
 
 
+def test_arclength_frozen_corrector_sharded(key, mesh8):
+    """The fused frozen-outcome arclength corrector with its stencil rows
+    mesh-sharded must accept the same point as the unsharded corrector
+    (GSPMD, same traced program)."""
+    from armadillocudalinearinterpolation_tpu.analysis.continuation import (
+        initial_tangent, make_arclength_step_frozen)
+
+    cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    ncfg = NewtonConfig(tolerance=1e-9, max_iterations=12,
+                        fd_mode="frozen", fd_epsilon=1e-5)
+    Z0 = jnp.array([0.32623663, 0.71936722, 1.36899475], jnp.float64)
+    y0 = jnp.concatenate([Z0, jnp.asarray([13.0589], jnp.float64)])
+    tangent = initial_tangent(3, +1.0, jnp.float64)
+    step_u = make_arclength_step_frozen(cfg, key, 0.0, "beta", ncfg)
+    step_s = make_arclength_step_frozen(cfg, key, 0.0, "beta", ncfg,
+                                        mesh=mesh8)
+    r_u = step_u(y0, tangent, 0.3)
+    r_s = step_s(y0, tangent, 0.3)
+    assert bool(r_u.converged) and bool(r_s.converged)
+    np.testing.assert_allclose(np.asarray(r_s.solution),
+                               np.asarray(r_u.solution), atol=5e-9)
+
+
 @pytest.mark.slow
 def test_shard_map_newton_converges(key, z_ref, mesh8):
     cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64")
