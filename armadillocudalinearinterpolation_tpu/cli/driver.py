@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "hoisted = exp_small loop + one whole-loop rerun "
                         "with the full exp only if the bound ever tripped "
                         "(exact, no per-event cond)")
+    p.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="shard solves over an N-device mesh (realisation "
+                        "axis, GSPMD — same traced programs, identical "
+                        "numerics to reduction rounding). Applies to the "
+                        "plain sweep and --staged; the evolve runs on the "
+                        "XLA/replay backends (a pallas_call cannot be "
+                        "partitioned). 0 = unsharded")
     p.add_argument("--staged", action="store_true",
                    help="solve each sweep step with the staged hybrid-"
                         "precision recipe (fp32 Pallas Newton -> df64 "
@@ -169,6 +176,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cpu:
+        if args.shard > 1:
+            # virtual CPU devices for --shard must exist before the backend
+            # initialises (same mechanism as the test conftest / dryrun)
+            import os
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.shard}")
         jax.config.update("jax_platforms", "cpu")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -275,6 +289,15 @@ def _run(args) -> int:
               "seeding staircase. Consider --fd-eps below dx/4, "
               "--fd-mode central, or --fd-mode exact.", file=sys.stderr)
 
+    mesh = None
+    if args.shard:
+        from ..parallel import make_mesh
+        mesh = make_mesh({"real": args.shard})   # raises if devices lack
+        if args.shard > 1 and cfg.n_real % args.shard:
+            print(f"warning: n_real={cfg.n_real} does not divide over "
+                  f"{args.shard} devices; GSPMD pads the ragged shard",
+                  file=sys.stderr)
+
     # Smoke test, as in Driver.cu:58-59.
     params = MapParams.create(beta, args.sigma, dtype=args.dtype)
     t0 = time.time()
@@ -315,16 +338,22 @@ def _run(args) -> int:
                 cfg, p, k, z, tolerance=args.tol,
                 stage2_ncfg=stage2_ncfg,
                 evolve_backend=args.evolve_backend,
-                jit_cache=staged_cache)
+                jit_cache=staged_cache, mesh=mesh)
     else:
         # exact Jacobians differentiate through the map: the Pallas kernel
         # defines no JVP, so exact mode resolves to a differentiable backend
         # (xla, or the df64 replay if requested)
         solve_backend = (differentiable_backend(args.evolve_backend)
                          if ncfg.fd_mode == "exact" else args.evolve_backend)
-        solve = jax.jit(lambda p, k, z: newton_solve(
-            make_residual_fn(cfg, p, k, evolve_backend=solve_backend),
-            z, ncfg))
+        if mesh is None:
+            solve = jax.jit(lambda p, k, z: newton_solve(
+                make_residual_fn(cfg, p, k, evolve_backend=solve_backend),
+                z, ncfg))
+        else:
+            from ..parallel import make_gspmd_map_fn
+            Fg = make_gspmd_map_fn(cfg, mesh, "real", solve_backend)
+            solve = jax.jit(lambda p, k, z: newton_solve(
+                lambda zz: Fg(zz, p, k), z, ncfg))
 
     for i in range(start, start + args.steps):
         params = MapParams.create(beta, args.sigma, dtype=args.dtype)

@@ -4,6 +4,7 @@ from .sharding import (
     make_mesh,
     ensemble_constraint,
     make_sharded_residual_fn,
+    make_gspmd_map_fn,
     make_shard_map_residual_fn,
     sharded_newton_solve,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "make_mesh",
     "ensemble_constraint",
     "make_sharded_residual_fn",
+    "make_gspmd_map_fn",
     "make_shard_map_residual_fn",
     "sharded_newton_solve",
 ]

@@ -96,6 +96,35 @@ def sharded_newton_solve(cfg: ModelConfig, params: MapParams, key: jax.Array,
     return newton_solve(F, Z0, newton_cfg)
 
 
+def make_gspmd_map_fn(cfg: ModelConfig, mesh: Mesh, axis: str = "real",
+                      evolve_backend: str = "xla"
+                      ) -> Callable[[jax.Array, MapParams, jax.Array],
+                                    jax.Array]:
+    """``(Z, params, key) -> f`` with the ensemble GSPMD-constrained.
+
+    The same traced map as :func:`..model.emap.event_driven_map`,
+    partitioned by XLA over ``mesh[axis]`` — with ``(params, key)`` as
+    *traced arguments*, so sweep caches built on it stay valid as the
+    parameters change step to step (unlike
+    :func:`make_sharded_residual_fn`, which closes over them).  The
+    replay's f32 schedule pass is pinned to the XLA backend and the
+    evolve never selects the Pallas kernel (a ``pallas_call`` cannot be
+    GSPMD-partitioned); ``"auto"``/``"pallas"`` therefore resolve to the
+    XLA evolve, ``"replay"`` keeps the df64 schedule replay.
+    """
+    cst = ensemble_constraint(mesh, axis)
+    use_replay = evolve_backend == "replay"
+
+    def F(Z: jax.Array, params: MapParams, key: jax.Array) -> jax.Array:
+        beta = cst(_emap.sample_beta(cfg, params, key))
+        U, _, _, _, res, positions = _emap.run_pipeline(
+            cfg, params, Z, beta, use_replay=use_replay,
+            schedule_backend="xla")
+        u_mean, _ = masked_ensemble_mean(positions, res.accept)
+        return _emap.assemble_residual(cfg, U, u_mean)
+    return F
+
+
 def make_shard_map_residual_fn(cfg: ModelConfig, params: MapParams,
                                key: jax.Array, mesh: Mesh,
                                axis: str = "real",

@@ -353,23 +353,9 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
             "`tolerance`.  Use a fresh cache for a different setup.")
 
     if mesh is not None:
-        from ..parallel.sharding import ensemble_constraint
-        from ..model import emap as _emap
-        from ..model.restrict import masked_ensemble_mean
-
-        def _sharded_map_fn(cfg_, backend):
-            """(z, p, k) -> f with the ensemble GSPMD-constrained: the same
-            traced map as ``event_driven_map``, partitioned by XLA."""
-            cst = ensemble_constraint(mesh, mesh_axis)
-
-            def _F(z, p, k):
-                beta = cst(_emap.sample_beta(cfg_, p, k))
-                U, _, _, _, res, positions = _emap.run_pipeline(
-                    cfg_, p, z, beta, use_replay=backend == "replay",
-                    schedule_backend="xla")
-                u_mean, _ = masked_ensemble_mean(positions, res.accept)
-                return _emap.assemble_residual(cfg_, U, u_mean)
-            return _F
+        # (z, p, k) -> f with the ensemble GSPMD-constrained: the same
+        # traced map as ``event_driven_map``, partitioned by XLA
+        from ..parallel.sharding import make_gspmd_map_fn
 
     if "stage1" not in cache:
         if mesh is None:
@@ -377,7 +363,7 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                 return newton_solve(make_residual_fn(cfg32, p, k), z,
                                     stage1_ncfg)
         else:
-            _F32 = _sharded_map_fn(cfg32, "xla")
+            _F32 = make_gspmd_map_fn(cfg32, mesh, mesh_axis, "xla")
 
             def _stage1(z, p, k):
                 return newton_solve(lambda zz: _F32(zz, p, k), z,
@@ -408,7 +394,7 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                 return event_driven_map(cfg, p, k, z,
                                         evolve_backend=evolve_backend)
         else:
-            _F_acc = _sharded_map_fn(cfg, evolve_backend)
+            _F_acc = make_gspmd_map_fn(cfg, mesh, mesh_axis, evolve_backend)
         cache["F_acc"] = _F_acc
     F_acc = cache["F_acc"]
     sub = cache.setdefault("stage2_cache", {})
