@@ -59,6 +59,17 @@ def test_cli_staged_sweep(capsys):
     assert out.count("converged=True") == 2
 
 
+def test_cli_shard_sweep(capsys):
+    # --shard N: the sweep's solves run over an N-device mesh (GSPMD row
+    # constraint; the conftest already forces 8 virtual CPU devices, so
+    # the CLI's --cpu env-var bootstrap is not needed in-process)
+    rc = main(ARGS + ["--steps", "1", "--shard", "8", "--realisations",
+                      "16", "--fd-mode", "central"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "converged=True" in out
+
+
 def test_cli_staged_requires_f64(capsys):
     rc = main(["--staged", "--quiet"])
     assert rc == 2
