@@ -237,6 +237,7 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                         polish_iterations: int = 24,
                         evolve_backend: str = "replay",
                         jit_cache: Optional[dict] = None,
+                        basin_radius: float = 1.0,
                         mesh=None, mesh_axis: str = "real") -> NewtonResult:
     """Solve the event-driven map to ``tolerance`` via the staged recipe.
 
@@ -269,6 +270,16 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         ``"auto"``/``"pallas"`` resolve to ``"replay"`` — the raw Pallas
         kernel is fp32-only and defines no JVP, and the replay IS its
         accurate/differentiable form).
+      basin_radius: max-norm distance from ``Z0`` beyond which a converged
+        result still triggers the rescue pass (basin fidelity — the map
+        has coexisting wave families ~10 apart in the time-offset
+        coordinates, and distance from the guess is the only signal that
+        separates "converged in the caller's basin" from "escaped to the
+        other family or a period alias"; see the rescue block).  The
+        default 1.0 sits far above warm-sweep drift (~0.05 per 0.1 in
+        beta) and far below the family separation.  ``float("inf")``
+        disables the distance trigger (cold exploratory solves where any
+        root is welcome).
       jit_cache: optional dict shared across calls (parameter sweeps)
         so re-solves pay zero re-tracing — ``params``/``key`` are traced
         arguments of every cached program, so the cache stays valid as
@@ -296,13 +307,16 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     Basin note: the contract is "a root of the accurate map to
     ``tolerance``", not "the same root a direct f64 solve from ``Z0``
     finds".  The map can have coexisting same-speed solutions ~0.04
-    apart in spike spacing; at reference ensemble scales the fp32 stage
-    hands off within ~2e-5 of a root and the staging preserves the
-    basin, but at small/noisy configs it may land in a neighbouring one.
-    If the staged pipeline ends above ``tolerance``, a rescue pass
-    re-solves from ``Z0`` directly on the accurate backend (basin-
-    faithful, cached programs) and the deeper result wins.  Verify the
-    returned ``residual_norm`` (it is a plain, independently
+    apart in spike spacing (and a coexisting fast wave family ~10 away
+    in the time-offset coordinates); at reference ensemble scales the
+    fp32 stage hands off within ~2e-5 of a root and the staging
+    preserves the basin, but at small/noisy configs it may land in a
+    neighbouring one.  If the staged pipeline ends above ``tolerance``,
+    out of the gauge domain, or farther than ``basin_radius`` from
+    ``Z0``, a rescue pass re-solves from ``Z0`` directly on the accurate
+    backend (basin-faithful, cached programs) and the better result wins
+    (converged-in-domain-nearer first, then deeper residual).  Verify
+    the returned ``residual_norm`` (it is a plain, independently
     recomputable ``|F|``) and the wave speed ``solution[0]`` if basin
     identity matters.
     """
@@ -447,31 +461,50 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         return pol, jac, int(res.iterations) + int(pol.iterations)
 
     def _in_domain(z) -> bool:
-        """Gauge-domain validity of a root: the map fixes spike 1 at 0
-        (``z_to_u``), so a PHYSICAL traveling-wave solution keeps a
-        positive wave speed and its free spike positions inside the
-        ring's unwrapped period ``(0, 2L)``.  The map being ring-periodic,
-        an out-of-domain root is at best an alias of an in-domain one —
-        and in practice a degenerate artifact: measured at N=512 R=8
-        sigma=0.1, a rough fp32 hand-off sat ON a discrete-outcome
-        boundary (local smooth-piece Jacobian entries ~17 vs ~6 one step
-        away), stage 2 escaped the basin and the polish certified a
-        GENUINE root at z = (0.49, 0.58, 11.07) — |F| = 3e-13, spike
-        position 11.07 > 2L = 6, nearly 10 away from the caller's guess."""
+        """Gauge-domain validity of a root.  ``Z[1:]`` are spike TIME
+        offsets (the reference seeds spike ``m`` at ring position
+        ``-c * U[m]``, ``EventDrivenMap.cu:364-372``), so one unwrapped
+        temporal period of the wave is ``2L / c`` — the domain test is on
+        the POSITIONS ``c * z_i in (0, 2L)``, not on ``z_i`` directly.
+        The distinction is load-bearing: the genuine FAST wave family
+        (``artifacts/enumerated_branches/branch_2..4``, the branch whose
+        fold ``--track-fold`` solves) lives at ``z_2 ~ 10-15`` with
+        ``c ~ 0.5`` — position 5.5 < 2L = 6, inside one period — and a
+        ``z < 2L`` test would misclassify every root on it as degenerate
+        (an earlier round-3 state did exactly that).  What this rejects:
+        non-finite iterates, ``c <= 0``, and period aliases
+        (``c * z`` outside ``(0, 2L)`` — the map being periodic, those
+        are at best wrapped copies of an in-domain root)."""
         import numpy as np
         zz = np.asarray(z)
-        return bool(np.all(np.isfinite(zz)) and zz[0] > 0.0
-                    and np.all(zz[1:] > 0.0)
-                    and np.all(zz[1:] < 2.0 * cfg.half_width))
+        if not (np.all(np.isfinite(zz)) and zz[0] > 0.0):
+            return False
+        pos = zz[0] * zz[1:]
+        return bool(np.all(pos > 0.0)
+                    and np.all(pos < 2.0 * cfg.half_width))
+
+    def _dist(z) -> float:
+        """Max-norm distance from the caller's guess (inf if non-finite)."""
+        import numpy as np
+        zz = np.asarray(z, float)
+        if not np.all(np.isfinite(zz)):
+            return float("inf")
+        return float(np.max(np.abs(zz - np.asarray(Z0, float))))
 
     pol, jac, acc_iters = accurate_solve(handoff)
     if ((not (float(pol.residual_norm) <= tolerance)
-         or not _in_domain(pol.solution)) and stage1_iters > 0):
+         or not _in_domain(pol.solution)
+         or _dist(pol.solution) > basin_radius) and stage1_iters > 0):
         # Rescue pass: on rough small-ensemble landscapes the fp32 stage
         # can hand off into the wrong basin (observed at N=512, R=8 with a
-        # cold guess 0.2 away in beta) or stage 2 can escape to an
-        # out-of-domain degenerate root (see _in_domain).  Re-solve from
-        # the CALLER'S guess on the accurate backend — slower per
+        # cold guess 0.2 away in beta) or stage 2 can escape the guess's
+        # basin entirely — measured at N=512 R=8 sigma=0.1, a hand-off
+        # sitting ON a discrete-outcome boundary sent stage 2 to the
+        # coexisting FAST-family root (0.49, 0.58, 11.07), |F| = 3e-13,
+        # genuine and in-domain but ~10 away from the caller's slow-family
+        # guess.  Domain tests cannot catch that (both roots are valid
+        # waves); the ``basin_radius`` distance trigger can.  Re-solve
+        # from the CALLER'S guess on the accurate backend — slower per
         # iteration but basin-faithful.  Skipped when stage 1 already
         # started there (stage1_iters == 0 fallback).  The convergence
         # guard is NaN-inclusive (`not <=`, NOT `>`): an all-rejected map
@@ -479,10 +512,12 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         pol_r, jac_r, iters_r = accurate_solve(Z0.astype(dt_acc))
         acc_iters += iters_r
         nr, n0 = float(pol_r.residual_norm), float(pol.residual_norm)
-        # an in-domain converged rescue beats an out-of-domain result
-        # outright; otherwise deeper residual wins (NaN-aware)
+        # a converged in-domain rescue beats a result that is out-of-domain
+        # or farther from the caller's guess (basin fidelity); otherwise
+        # deeper residual wins (NaN-aware)
         if (nr <= tolerance and _in_domain(pol_r.solution)
-                and not _in_domain(pol.solution)):
+                and (not _in_domain(pol.solution)
+                     or _dist(pol_r.solution) < _dist(pol.solution))):
             pol, jac = pol_r, jac_r
         elif nr < n0 or (nr == nr and n0 != n0):  # deeper, or rescue is
             pol, jac = pol_r, jac_r               # finite where pol is NaN

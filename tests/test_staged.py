@@ -127,10 +127,10 @@ def test_frozen_fwd_stencil(key):
 
     Standalone: converges to the same root as central from the Driver.cu
     guess.  Staged: at this rough small-ensemble config the fp32 hand-off
-    sits ON a discrete-outcome boundary and stage 2 once escaped to a
-    GENUINE but out-of-gauge-domain root (spike position 11.07 > 2L) —
-    the staged rescue's domain guard must reject it and return the
-    physical root near the guess."""
+    sits ON a discrete-outcome boundary and stage 2 once escaped to the
+    GENUINE coexisting fast-family root (0.49, 0.58, 11.07) ~10 away from
+    the slow-family guess — the staged rescue's basin-distance guard must
+    detect the escape and return the slow-family root near the guess."""
     from armadillocudalinearinterpolation_tpu.model.emap import \
         make_residual_fn as mk
 
@@ -155,9 +155,10 @@ def test_frozen_fwd_stencil(key):
                               stage2_ncfg=ncfg2)
     assert bool(res.converged)
     sol = np.asarray(res.solution)
-    assert sol[0] > 0 and np.all(sol[1:] > 0) \
-        and np.all(sol[1:] < 2 * cfg.half_width), sol
-    # same basin as the direct frozen solve from the same guess
+    assert sol[0] > 0 and np.all(sol[0] * sol[1:] > 0) \
+        and np.all(sol[0] * sol[1:] < 2 * cfg.half_width), sol
+    # same basin as the direct frozen solve from the same guess — the
+    # basin_radius rescue must have pulled the fast-family escape back
     np.testing.assert_allclose(sol, np.asarray(res_c.solution), atol=1e-2)
     # and the root checks out through an independent compiled replay oracle
     F = jax.jit(mk(cfg, params, key, evolve_backend="replay"))
@@ -212,6 +213,36 @@ def test_staged_solve_reaches_target(key):
     # higher beta -> faster wave on this family; at minimum, a different map
     # must give a measurably different root
     assert abs(float(res3.solution[0]) - float(res.solution[0])) > 1e-4
+
+
+def test_staged_fast_family_not_hijacked(key):
+    """A solve warm-started ON the coexisting fast wave family must stay
+    there.  The fast family (artifacts/enumerated_branches/branch_2..4;
+    its fold is what --track-fold solves) lives at z_2 ~ 11 with c ~ 0.49
+    at beta = 13.0589 — spike TIME offsets inside one temporal period
+    (c * z_2 = 5.47 < 2L = 6).  An earlier round-3 domain guard tested
+    ``z < 2L`` directly and misclassified every fast-family root as
+    degenerate, paying a useless rescue per solve and risking silent
+    replacement by a slow-family root; the corrected guard tests the
+    POSITIONS ``c * z`` and the rescue triggers on basin distance instead.
+    """
+    cfg = ModelConfig(n_neurons=512, n_real=4, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+    # the verified fast-family root at this (N, beta): |F| = 8.5e-11
+    z_fast = jnp.array([0.49423453, 0.57798655, 11.06999273], jnp.float64)
+    guess = z_fast + jnp.array([1e-3, -1e-3, 5e-3], jnp.float64)
+    res = newton_solve_staged(
+        cfg, params, key, guess, tolerance=1e-7,
+        stage2_ncfg=NewtonConfig(tolerance=5e-7, max_iterations=6,
+                                 fd_mode="frozen-fwd", fd_epsilon=1e-6))
+    assert bool(res.converged)
+    sol = np.asarray(res.solution)
+    # still the fast wave, not hijacked to the slow family (c ~ 0.326)
+    np.testing.assert_allclose(sol, np.asarray(z_fast), atol=0.02)
+    # and in-domain under the position semantics
+    assert sol[0] > 0 and np.all(sol[0] * sol[1:] > 0) \
+        and np.all(sol[0] * sol[1:] < 2 * cfg.half_width), sol
 
 
 def test_staged_guards_and_jacobian(key):
