@@ -175,8 +175,7 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
     """
     from ..model.emap import (compute_discrete_outcome,
                               frozen_schedule_map_batched)
-    from ..solvers.criterion import residual_norm_criterion
-    from ..solvers.linalg import solve_dense
+    from ..solvers.staged import frozen_newton_loop
 
     dt_ = cfg.jdtype
     n1 = cfg.n_spikes + 1
@@ -184,7 +183,6 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
     # (eps = 1e-3 crosses discrete-outcome boundaries; > 1e-4 degrades)
     eps_f = ncfg.fd_epsilon
     eps_f = 1e-5 if (eps_f > 1e-4 or eps_f < 1e-7) else eps_f
-    test = residual_norm_criterion(ncfg.tolerance)
 
     @jax.jit
     def sched_at(y):
@@ -224,33 +222,11 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
             sched, n_ev, ii = sched_at(yy)
             return fused(yy, e_, y_prev, tangent, ds, sched, n_ev, ii)
 
-        G, J = evaluate(y, ep)
-        if not bool(jnp.all(jnp.isfinite(J))):
-            G, J = evaluate(y, ep / 8.0)
-        norm = jnp.linalg.norm(G)
-        norm0 = norm
-        history = [float(norm)]
-        converged = bool(test(norm))
-        it = 0
-        while it < ncfg.max_iterations and not converged:
-            if (ncfg.divergence_factor != float("inf")
-                    and not (float(norm)
-                             <= ncfg.divergence_factor * float(norm0))):
-                break    # runaway corrector (NaN-inclusive): stop paying
-            y = y + jnp.asarray(ncfg.damping, dt_) * solve_dense(J, -G)
-            G, J = evaluate(y, ep)
-            if not bool(jnp.all(jnp.isfinite(J))):
-                G, J = evaluate(y, ep / 8.0)
-            norm = jnp.linalg.norm(G)
-            it += 1
-            history.append(float(norm))
-            converged = bool(test(norm))
-
-        hist = jnp.full((ncfg.max_iterations + 1,), jnp.nan, dt_)
-        hist = hist.at[:len(history)].set(jnp.asarray(history, dt_))
-        return NewtonResult(solution=y, converged=jnp.asarray(converged),
-                            iterations=jnp.int32(it), residual_norm=norm,
-                            residual_history=hist, jacobian=J, residual=G)
+        # shared host loop (non-finite-J retry, divergence cutoff, result
+        # assembly); backtrack=False — walkers probe past branch ends by
+        # design and count on failing correctors being cheap
+        return frozen_newton_loop(evaluate, y, ncfg, dt_, ep,
+                                  backtrack=False)
 
     return step
 

@@ -134,10 +134,10 @@ class _KickTables(NamedTuple):
 
     A1: D.DF    # (N,) e^{-b1 x}              (j-side gathers)
     B1: D.DF    # (N,) e^{+b1 x}
-    SA1: D.DF   # (N,) a1 dx e^{-b1 x}        (i-side, amplitude folded in)
-    SB1: D.DF   # (N,) a1 dx e^{+b1 x}
-    SCA1: D.DF  # (N,) a1 dx e^{-b1 L2} e^{-b1 x}   (wrap leg, i-side)
-    SCB1: D.DF  # (N,) a1 dx e^{-b1 L2} e^{+b1 x}
+    SA1: D.DF   # (N,) |a1| dx e^{-b1 x}      (i-side, |amplitude| folded in;
+    SB1: D.DF   # (N,) |a1| dx e^{+b1 x}       sign reapplied statically in
+    SCA1: D.DF  # (N,) |a1| dx e^{-b1 L2} e^{-b1 x}   _kick_weight_df — the
+    SCB1: D.DF  # (N,) |a1| dx e^{-b1 L2} e^{+b1 x}   select needs same-sign legs)
     A2: D.DF
     B2: D.DF
     SA2: D.DF
@@ -147,12 +147,12 @@ class _KickTables(NamedTuple):
 
 
 def _build_kick_tables(cfg: ModelConfig) -> _KickTables:
-    if not (cfg.a1 > 0 and cfg.a2 > 0):
-        # the ring-minimum select compares the a*dx-SCALED legs, which
-        # inverts under a negative amplitude (max of scaled = min of
-        # exponentials -> wrong ring leg, silently)
-        raise ValueError("separable kick tables require positive coupling "
-                         f"amplitudes; got a1={cfg.a1}, a2={cfg.a2}")
+    # The ring-minimum select compares the a*dx-SCALED legs, which would
+    # invert under a negative amplitude (max of scaled = min of
+    # exponentials -> wrong ring leg, silently).  Fold |a|*dx into the
+    # tables and let _kick_weight_df reapply the (static) sign, so
+    # zero and negative amplitudes — configs _mexhat_df always handled —
+    # stay exact instead of raising.
     # Measured (twice, in different round-3 investigations): different
     # jitted consumers of these tables (replay residual, frozen-schedule
     # map, shard_map residual) agree BITWISE without any barrier — XLA's
@@ -176,8 +176,8 @@ def _build_kick_tables(cfg: ModelConfig) -> _KickTables:
         # and one rounding cheaper than traced df64 const-x-const
         # products, and it keeps all-literal df chains (a known XLA
         # reassociation hazard surface) out of the build.
-        s = D.df_const(a * cfg.dx)
-        sC = D.df_const(a * cfg.dx * math.exp(-b * L2))
+        s = D.df_const(abs(a) * cfg.dx)
+        sC = D.df_const(abs(a) * cfg.dx * math.exp(-b * L2))
         return A, B, D.mul(s, A), D.mul(s, B), D.mul(sC, A), D.mul(sC, B)
 
     t1 = tables(cfg.b1, cfg.a1)
@@ -214,6 +214,13 @@ def _kick_weight_df(tabs: _KickTables, j: jax.Array, lane: jax.Array,
 
     e1 = ering(tabs.A1, tabs.B1, tabs.SA1, tabs.SB1, tabs.SCA1, tabs.SCB1)
     e2 = ering(tabs.A2, tabs.B2, tabs.SA2, tabs.SB2, tabs.SCA2, tabs.SCB2)
+    # the tables carry |a| dx (the ring-minimum select needs same-sign
+    # legs); the amplitude signs are static, so reapplying them here is a
+    # trace-time branch — free on the usual positive-amplitude path
+    if cfg.a1 < 0:
+        e1 = D.neg(e1)
+    if cfg.a2 < 0:
+        e2 = D.neg(e2)
     return D.sub(e1, e2)
 
 

@@ -99,7 +99,6 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
       mesh_axis: mesh axis name for the rows (default ``"real"``).
     """
     cache = jit_cache if jit_cache is not None else {}
-    test = residual_norm_criterion(ncfg.tolerance)
     n = x0.shape[0]
     dt_ = cfg.jdtype
     fwd = ncfg.fd_mode == "frozen-fwd"
@@ -112,9 +111,21 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
     # (1e-2, tuned for the fp32 stage) must not leak in; below the lower
     # edge the df64 noise floor (~1e-13 abs) starts to bite.
     lo, hi, dflt = (1e-8, 1e-5, 1e-6) if fwd else (1e-7, 1e-4, 1e-5)
-    eps = jnp.asarray(min(max(ncfg.fd_epsilon, lo), hi), dt_)
-    if ncfg.fd_epsilon > hi or ncfg.fd_epsilon < lo:
-        eps = jnp.asarray(dflt, dt_)
+    # out-of-window radii reset to the DEFAULT, not the window edge: a
+    # leaked fp32-stage epsilon (1e-2) clamped to `hi` would still sit at
+    # the worst-error end of the window
+    eps = jnp.asarray(ncfg.fd_epsilon
+                      if lo <= ncfg.fd_epsilon <= hi else dflt, dt_)
+
+    # The cached programs bake in cfg (schedule pass + replay closures)
+    # and the mesh constraint; eps/params/key are traced arguments and
+    # fd_mode gets its own fused key, so those may vary across calls.
+    ident = ("frozen", cfg, mesh, mesh_axis)
+    if cache.setdefault("_frozen_identity", ident) != ident:
+        raise ValueError(
+            "jit_cache was built for a different (cfg, mesh) — its cached "
+            "schedule/fused programs close over them.  Use a fresh cache "
+            "for a different setup.")
 
     if "sched" not in cache:
         cache["sched"] = jax.jit(
@@ -145,18 +156,57 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
         sched, n_ev, ii = cache["sched"](z, params, key)
         return cache[fused_key](z, ep, sched, n_ev, ii, params, key)
 
+    return frozen_newton_loop(evaluate, x0.astype(dt_), ncfg, dt_, eps,
+                              backtrack=True)
+
+
+def frozen_newton_loop(evaluate, x0: jax.Array, ncfg: NewtonConfig,
+                       dt_, eps, *, backtrack: bool) -> NewtonResult:
+    """Shared host Newton loop over a fused ``evaluate(x, eps) -> (F, J)``
+    program — the policy layer of :func:`newton_solve_frozen` and the
+    bordered arclength corrector
+    (:func:`..analysis.continuation.make_arclength_step_frozen`), kept in
+    ONE place so hardening lands in both (a round-3 review finding: the two
+    copies had already drifted).
+
+    Both callers share: the non-finite-Jacobian retry at an 8x tighter
+    radius (an FD probe across a fire/no-fire boundary gets rejected by the
+    replay's consistency guard and poisons its column — NaN when every
+    realisation drops), the residual history/print plumbing, and the
+    divergence cutoff (``ncfg.divergence_factor``; NaN-inclusive, fires
+    before paying the next evaluation).
+
+    ``backtrack`` selects the step policy — a deliberate fork, not drift:
+
+    * ``True`` (converging solves, :func:`newton_solve_frozen`):
+      backtracking step trials — full step, up to 3 halvings while the
+      residual grows, best candidate wins — plus a tighter-eps Jacobian
+      refresh retry when every candidate is worse (an FD probe across an
+      event-reordering boundary fabricates a finite-but-huge Jacobian
+      entry; re-differencing at ``eps / 8`` is 8x less likely to straddle
+      it).  Costs nothing on the usual monotone path.
+    * ``False`` (continuation walkers): plain damped steps.  Walkers probe
+      PAST branch ends by design and count on failing correctors being
+      cheap (the divergence cutoff stops them in ~2 iterations, measured
+      ~6x on boundary-walk collapse phases); backtracking would spend up
+      to 4 evaluations per iteration trying to rescue a step that SHOULD
+      fail.
+    """
+    test = residual_norm_criterion(ncfg.tolerance)
+
+    def ev(z, ep):
+        f_, j_ = evaluate(z, ep)
+        if not bool(jnp.all(jnp.isfinite(j_))):
+            f_, j_ = evaluate(z, ep / 8.0)
+        return f_, j_
+
     if ncfg.print_output:
         _print_header(ncfg.max_iterations, ncfg.tolerance)
 
-    x = x0.astype(dt_)
-    f, jac = evaluate(x, eps)
-    # a probe that pushes a realisation across a fire/no-fire boundary gets
-    # rejected by the replay's consistency guard and poisons its FD column
-    # (NaN when every realisation drops); one retry at a tighter radius
-    # stays inside the smooth piece
-    if not bool(jnp.all(jnp.isfinite(jac))):
-        f, jac = evaluate(x, eps / 8.0)
+    x = x0
+    f, jac = ev(x, eps)
     norm = jnp.linalg.norm(f)
+    norm0 = float(norm)
     history = [float(norm)]
     if ncfg.print_output:
         _print_iteration(0, norm)
@@ -164,21 +214,16 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
     it = 0
 
     def attempt(x, direction, norm_ref):
-        """Backtracking step trial: full step, then up to 3 halvings while
-        the residual norm grows; returns the best (norm, x, f, jac, norm_a)
-        candidate seen.  A rough fp32 hand-off (small noisy ensembles) can
-        put the first full Newton step far outside the basin — measured at
-        N=512 R=8 sigma=0.1: 2.2e-2 -> 3.9 -> ... -> converged to a
-        genuine but DEGENERATE root (spike position outside the ring) that
-        the polish then certified.  Halving costs one fused evaluation per
-        retry and nothing on the usual monotone path."""
+        """Backtracking step trial (see ``backtrack=True`` above); returns
+        the best ``(norm, x, f, jac, norm_arr)`` candidate seen.  Measured
+        motivation: a rough fp32 hand-off at N=512 R=8 sigma=0.1 sent the
+        first full Newton step 2.2e-2 -> 3.9 and onward to a root in the
+        wrong basin."""
         best = None
         scale = float(ncfg.damping)
         for _ in range(4):
             x_try = x + jnp.asarray(scale, dt_) * direction
-            f_new, jac_new = evaluate(x_try, eps)
-            if not bool(jnp.all(jnp.isfinite(jac_new))):
-                f_new, jac_new = evaluate(x_try, eps / 8.0)
+            f_new, jac_new = ev(x_try, eps)
             n_try = jnp.linalg.norm(f_new)
             n_val = float(n_try)
             # replace a NaN best with any finite candidate (NaN compares
@@ -193,25 +238,29 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
         return best
 
     while it < ncfg.max_iterations and not converged:
-        best = attempt(x, solve_dense(jac, -f), float(norm))
-        if not (best[0] <= float(norm)):
-            # Every backtracked candidate made things worse (or NaN): the
-            # likely culprit is an FD probe that crossed an event-
-            # reordering boundary — a ~1e-3-scale map jump divided by eps
-            # fabricates a huge Jacobian entry (finite, so the isfinite
-            # retry never fires) and the direction is garbage.  Refresh
-            # residual + Jacobian AT x with an 8x tighter radius (8x less
-            # likely to straddle the boundary) and retry the step once;
-            # if that still fails, accept the best candidate seen — on
-            # the jump landscape a transient increase can be unavoidable,
-            # and the capture-range staging hands off to the polish early
-            # anyway.
-            f_r, jac_r = evaluate(x, eps / 8.0)
-            if bool(jnp.all(jnp.isfinite(jac_r))):
-                best_r = attempt(x, solve_dense(jac_r, -f_r), float(norm))
-                if best_r[0] == best_r[0] and not (best_r[0] >= best[0]):
-                    best = best_r
-        _, x, f, jac, norm = best
+        if (ncfg.divergence_factor != float("inf")
+                and not (float(norm) <= ncfg.divergence_factor * norm0)):
+            break    # runaway iterate (NaN-inclusive): stop paying
+        if backtrack:
+            best = attempt(x, solve_dense(jac, -f), float(norm))
+            if not (best[0] <= float(norm)):
+                # Every backtracked candidate made things worse (or NaN):
+                # refresh residual + Jacobian AT x with the tighter radius
+                # and retry once; if that still fails, accept the best
+                # candidate seen — on the jump landscape a transient
+                # increase can be unavoidable, and the capture-range
+                # staging hands off to the polish early anyway.
+                f_r, jac_r = evaluate(x, eps / 8.0)
+                if bool(jnp.all(jnp.isfinite(jac_r))):
+                    best_r = attempt(x, solve_dense(jac_r, -f_r),
+                                     float(norm))
+                    if best_r[0] == best_r[0] and not (best_r[0] >= best[0]):
+                        best = best_r
+            _, x, f, jac, norm = best
+        else:
+            x = x + jnp.asarray(ncfg.damping, dt_) * solve_dense(jac, -f)
+            f, jac = ev(x, eps)
+            norm = jnp.linalg.norm(f)
         it += 1
         history.append(float(norm))
         if ncfg.print_output:

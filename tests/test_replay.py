@@ -220,6 +220,32 @@ def test_separable_kick_tables_match_direct(cfg):
     assert float(jnp.max(jnp.abs(w_sep - w_dir))) < 1e-12 * scale
 
 
+def test_separable_kick_tables_nonpositive_amplitudes(cfg):
+    """Zero and negative coupling amplitudes must evaluate exactly, not
+    raise: the tables fold |a| dx and reapply the sign statically (a
+    round-3 review fix — the earlier guard hard-failed a2 = 0 configs the
+    direct ``_mexhat_df`` path always evolved correctly)."""
+    from armadillocudalinearinterpolation_tpu.model.replay import (
+        _build_kick_tables, _kick_weight_df, _mexhat_df)
+    from armadillocudalinearinterpolation_tpu.utils import df64 as D
+
+    N = cfg.n_neurons
+    lane = jnp.arange(N, dtype=jnp.int32)[None, :]
+    js = jnp.asarray([0, 3, N // 2, N - 1], jnp.int32)
+    d = jnp.abs(lane - js[:, None]).astype(jnp.float32)
+    dist = jnp.minimum(d, jnp.float32(N) - d) * jnp.float32(cfg.dx)
+    for a1, a2 in ((cfg.a1, 0.0), (0.0, 0.0), (-cfg.a1, cfg.a2),
+                   (cfg.a1, -cfg.a2)):
+        c = cfg.with_(a1=a1, a2=a2)
+        tabs = _build_kick_tables(c)
+        w_sep = jax.jit(
+            lambda j: D.to_f64(_kick_weight_df(tabs, j, lane, c)))(js)
+        w_dir = jax.jit(lambda ds: D.to_f64(_mexhat_df(ds, c)))(dist)
+        scale = max(float(jnp.max(jnp.abs(w_dir))), 1.0)
+        assert float(jnp.max(jnp.abs(w_sep - w_dir))) < 1e-12 * scale, \
+            (a1, a2)
+
+
 def test_jacfwd_through_replay_matches_fd(cfg):
     """VERDICT r2 #2 done-criterion: jacfwd-vs-FD agreement.
 

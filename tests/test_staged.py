@@ -270,3 +270,28 @@ def test_staged_guards_and_jacobian(key):
     with pytest.raises(ValueError, match="jit_cache"):
         newton_solve_staged(cfg, params, key, Z0, tolerance=1e-7,
                             jit_cache=cache)
+
+
+def test_frozen_cache_identity_guard(key):
+    """A jit_cache built for a different (cfg, mesh) must be refused: the
+    cached schedule/fused programs close over them, so silent reuse would
+    solve the WRONG problem (round-3 review finding — every other cache-
+    sharing entry point already had this guard)."""
+    import pytest
+
+    cfg_a = ModelConfig(n_neurons=256, n_real=2, dtype="float64")
+    cfg_b = cfg_a.with_(root_tol=1e-12)        # traced-constant difference
+    ncfg = NewtonConfig(tolerance=1e-6, max_iterations=0, fd_mode="frozen",
+                        fd_epsilon=1e-5)
+    # seed the cache as a solve under cfg_a would (no full solve needed:
+    # the guard must trip BEFORE any program in the cache is reused)
+    cache = {"_frozen_identity": ("frozen", cfg_a, None, "real")}
+    params = MapParams.create(13.0589, 0.0, dtype="float64")
+    with pytest.raises(ValueError, match="different"):
+        newton_solve_frozen(cfg_b, params, key, Z0, ncfg, jit_cache=cache)
+    # same identity passes the guard and records it via setdefault
+    cache2 = {}
+    try:
+        newton_solve_frozen(cfg_a, params, key, Z0, ncfg, jit_cache=cache2)
+    finally:
+        assert cache2["_frozen_identity"] == ("frozen", cfg_a, None, "real")
