@@ -78,15 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "~3x faster at reference scale")
     p.add_argument("--replay-exp-mode",
                    choices=["cond", "small", "fast", "hoisted"],
-                   default="cond",
+                   default="hoisted",
                    help="df64 replay small-exp strategy (ModelConfig."
-                        "replay_exp_mode): cond = per-event bound check "
-                        "(exact, default); small = exp_small hardcoded "
+                        "replay_exp_mode): hoisted = exp_small loop + one "
+                        "whole-loop rerun with the full exp only if the "
+                        "bound ever tripped (exact, no per-event cond; "
+                        "default — measured fastest-exact on chip); "
+                        "cond = per-event bound check (exact; right for "
+                        "vmapped callers); small = exp_small hardcoded "
                         "(exact-or-rejected; fastest at small sigma); "
-                        "fast = full exp hardcoded (exact, no cond); "
-                        "hoisted = exp_small loop + one whole-loop rerun "
-                        "with the full exp only if the bound ever tripped "
-                        "(exact, no per-event cond)")
+                        "fast = full exp hardcoded (exact, no cond)")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="shard solves over an N-device mesh (realisation "
                         "axis, GSPMD — same traced programs, identical "

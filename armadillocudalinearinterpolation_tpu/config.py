@@ -83,14 +83,18 @@ class ModelConfig:
     # cases into the kernel body).  Certified exact like the block mode.
     evolve_window_per_row: bool = False
     # How the df64 replay computes the small-argument delta factor of its
-    # anchor/delta-split decay exp (model/replay.py):
+    # anchor/delta-split decay exp (model/replay.py).  Measured on the
+    # chip (v5e, N=4096 R=64 sigma=0.1, warm ms/eval, results bitwise
+    # identical): small 231.0, hoisted 234.7, cond 249.4, fast 271.3 —
+    # the per-event cond DOES cost ~8% (partial both-branch execution),
+    # so "hoisted" is the default: exp_small's win with no per-event
+    # cond and exact-everywhere semantics.
     #   "cond"  — per-event lax.cond on the measured |z| bound: exp_small
     #             when every live row is within SMALL_EXP_BOUND, full
-    #             range-reduced exp_fast otherwise.  Exact everywhere; the
-    #             default.  HAZARD being measured on chip: TPU lax.cond
-    #             inside loops can execute BOTH branches (observed in the
-    #             2D-binned kernel work), which would erase exp_small's ~4x
-    #             win — hence the two escape hatches below.
+    #             range-reduced exp_fast otherwise.  Exact everywhere;
+    #             the right choice under vmap (where "hoisted" degrades
+    #             to both-loops) — the flat-tiled batched paths don't
+    #             vmap, so that hazard stays theoretical in-package.
     #   "small" — exp_small hardcoded.  A live row whose |z| exceeds the
     #             bound on some event is REJECTED via the consistency flag
     #             (never silently mis-evolved), so this is exact-or-rejected:
@@ -104,10 +108,11 @@ class ModelConfig:
     #             the whole loop with exp_fast only when it fired.  Exact
     #             everywhere with no per-event cond (a loop inside a
     #             branch cannot be if-converted); ~2x cost in the rare
-    #             rerun case.  The right default if the chip shows
-    #             both-branch cond execution; degrades to both-loops
-    #             under vmap (the flat-tiled batched paths don't vmap).
-    replay_exp_mode: str = "cond"
+    #             rerun case.  THE DEFAULT per the chip measurement
+    #             above; degrades to both-loops under vmap (the
+    #             flat-tiled batched paths don't vmap — use "cond"
+    #             for external vmapped callers).
+    replay_exp_mode: str = "hoisted"
     dtype: str = "float32"
 
     def __post_init__(self):

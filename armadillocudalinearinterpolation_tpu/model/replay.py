@@ -395,7 +395,7 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
             e_d = D.exp_small(z)
         elif exp_mode == "fast":
             e_d = D.exp_fast(z)
-        else:                                   # "cond" (default)
+        else:                                   # "cond"
             zmax = delta_max * jnp.max(jnp.where(live, jnp.abs(dt_row.hi),
                                                  jnp.float32(0.0)))
             e_d = jax.lax.cond(zmax <= jnp.float32(D.SMALL_EXP_BOUND),

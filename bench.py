@@ -467,12 +467,12 @@ def bench_replay_exp_modes():
 
     Times one warm df64-replay map evaluation (f32 Pallas schedule pass +
     replay scan) at N=4096, R=64, sigma=0.1 for every
-    ``ModelConfig.replay_exp_mode``.  Decides whether TPU ``lax.cond``
-    inside the replay loop executes both branches — if so, 'cond' times
-    like 'fast' and 'hoisted'/'small' are the fix; if it branches for
-    real, 'cond' times like 'small' and stays the default.  Residual
-    deltas vs 'cond' are recorded so a fast-but-wrong mode can never pass
-    silently.
+    ``ModelConfig.replay_exp_mode``.  Decided 2026-08-19 (v5e, warm
+    ms/eval, bitwise-identical results): small 231.0, hoisted 234.7,
+    cond 249.4, fast 271.3 — the per-event cond partially executes both
+    branches, so the default is now "hoisted" (config.py).  The stage
+    keeps running as a regression guard; residual deltas vs 'cond' are
+    recorded so a fast-but-wrong mode can never pass silently.
     """
     from armadillocudalinearinterpolation_tpu import (
         ModelConfig, MapParams, make_residual_fn)

@@ -144,8 +144,9 @@ def test_replay_invariant_to_schedule_padding(cfg, pieces):
 def test_replay_exp_modes(cfg, pieces):
     """cfg.replay_exp_mode: the three small-exp strategies must agree.
 
-    "fast" (exp_fast hardcoded) is exact everywhere, so it must match the
-    default "cond" to replay grade on both the small-sigma batch and the
+    "fast" (exp_fast hardcoded) is exact everywhere, so it must match
+    "cond" (the per-event-branch reference strategy; the package default
+    is "hoisted" since the on-chip A/B) on both the small-sigma batch and the
     wide-beta batch that forces cond's fallback branch.  "small"
     (exp_small hardcoded) must match on the small-sigma batch where the
     |z| bound holds on every event — and on the wide-beta batch it must
