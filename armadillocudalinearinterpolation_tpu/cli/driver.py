@@ -103,17 +103,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "f64-grade tolerances (--tol 1e-8) at ~8x the "
                         "emulated-f64 cost; requires --dtype float64")
     p.add_argument("--stage2-fd",
-                   choices=["exact", "frozen", "frozen-fwd", "central"],
-                   default="exact",
-                   help="--staged accurate-stage Jacobian mode: exact = "
-                        "jacfwd through the replay; frozen = fused residual"
-                        " + frozen-schedule central FD (jacfwd-grade to "
-                        "~3e-7, one batched (2n+1)-point replay per "
-                        "iteration instead of a jacfwd sweep; frozen-fwd = "
-                        "same with a one-sided (n+1)-point stencil (4/7 "
-                        "the replay rows, ~3e-6 Jacobian accuracy; "
-                        "solvers/staged.py newton_solve_frozen); central = "
-                        "plain central FD on the full map")
+                   choices=["frozen-fwd", "frozen", "exact", "central"],
+                   default="frozen-fwd",
+                   help="--staged accurate-stage Jacobian mode: frozen-fwd "
+                        "(default — measured fastest on chip: 7.07 s vs "
+                        "8.16 frozen / 14.7 exact for the N=4096 1e-8 "
+                        "solve) = fused residual + one-sided frozen-"
+                        "schedule FD, one batched (n+1)-point replay per "
+                        "iteration, ~3e-6 Jacobian accuracy (solvers/"
+                        "staged.py newton_solve_frozen); frozen = central "
+                        "(2n+1)-point stencil, ~3e-7 (better when the "
+                        "exported Jacobian feeds eigenvalue analysis); "
+                        "exact = jacfwd through the replay (machine-grade "
+                        "Jacobians); central = plain central FD on the "
+                        "full map")
     p.add_argument("--damping", type=float, default=1.0)
     p.add_argument("--quiet", action="store_true")
     # continuation (Driver.cu:86-114)
@@ -276,7 +279,7 @@ def _run(args) -> int:
             print(f"warning: {flags} ignored with --staged (the staged "
                   "recipe uses its own stage configs; see "
                   "solvers/staged.py)", file=sys.stderr)
-    elif args.stage2_fd != "exact":
+    elif args.stage2_fd != "frozen-fwd":
         print("warning: --stage2-fd only takes effect with --staged",
               file=sys.stderr)
     if not args.staged and args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
@@ -325,8 +328,8 @@ def _run(args) -> int:
         # one cache across the sweep: (params, key) are traced arguments of
         # every cached program, so step 2 onward re-traces nothing
         staged_cache = {}
-        stage2_ncfg = None
-        if args.stage2_fd != "exact":
+        stage2_ncfg = None   # frozen-fwd: the library default
+        if args.stage2_fd != "frozen-fwd":
             stage2_ncfg = NewtonConfig(
                 tolerance=5.0 * args.tol, max_iterations=6,
                 fd_mode=args.stage2_fd,

@@ -8,19 +8,22 @@ reached in three stages whose cost profile was measured on the chip
   1. **fp32 fast stage** (~0.35 s/iter): fused :func:`..solvers.newton
      .newton_solve` with the Pallas/windowed f32 evolve takes the iterate
      to the f32 residual floor (~2e-5).
-  2. **df64 exact stage** (~4.9 s/iter): host-driven Newton on the
-     schedule-replay backend with forward-mode exact Jacobians
-     (:mod:`..model.replay`).  Its tolerance is NOT the target: each
-     jacfwd iteration costs ~8x a forward eval, while a frozen-Jacobian
-     step costs one — so this stage stops inside the polish's capture
-     range (``stage2_tolerance``, default ``5 * tolerance``), typically
-     after 1-2 iterations.
-  3. **frozen-Jacobian polish** (~0.7 s/iter): best-iterate quasi-Newton
+  2. **df64 accurate stage**: host-driven Newton on the schedule-replay
+     backend.  Default Jacobian mode ``"frozen-fwd"`` — one fused
+     ``(n+1)``-point frozen-schedule replay launch per iteration
+     (:func:`newton_solve_frozen`), jacfwd-grade direction at forward-eval
+     cost; ``"exact"`` (jacfwd through the replay, ~8x a forward eval per
+     iteration) remains the machine-grade-Jacobian option.  Either way the
+     stage's tolerance is NOT the target: it stops inside the polish's
+     capture range (``stage2_tolerance``, default ``5 * tolerance``),
+     typically after 1-2 iterations.
+  3. **frozen-Jacobian polish** (~0.25 s/iter): best-iterate quasi-Newton
      (:func:`..solvers.newton.frozen_jacobian_polish`) walks the
      event-reordering jump landscape down to the target.
 
-Measured end-to-end at N=4096: 165 s (round-2 emulated f64) -> ~20 s
-(3 exact iterations) -> ~12-15 s with the capture-range staging here.
+Measured end-to-end at N=4096 (warm): 165 s (round-2 emulated f64) ->
+~20 s (3 exact iterations) -> 14.7 s (capture-range staging, exact
+stage 2) -> 7.1 s (frozen-fwd stage 2, the default).
 """
 
 from __future__ import annotations
@@ -283,7 +286,7 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                         stage1_ncfg: Optional[NewtonConfig] = None,
                         stage2_ncfg: Optional[NewtonConfig] = None,
                         stage2_tolerance: Optional[float] = None,
-                        polish_iterations: int = 24,
+                        polish_iterations: int = 40,
                         evolve_backend: str = "replay",
                         jit_cache: Optional[dict] = None,
                         basin_radius: float = 1.0,
@@ -300,16 +303,20 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
       tolerance: final residual-norm target (in the accurate backend).
       stage1_ncfg: fp32 stage solver config; default 6 damped iterations
         of central FD at the f32-appropriate epsilon 1e-3.
-      stage2_ncfg: df64 stage config; default exact-Jacobian mode with
-        ``stage2_tolerance`` (capture-range staging, see module
-        docstring).  Pass ``fd_mode="frozen"`` to route the stage through
-        :func:`newton_solve_frozen` — fused residual + frozen-schedule FD
-        Jacobian in one batched launch, jacfwd-grade accuracy (~3e-7
-        relative agreement) at a fraction of the cost and with no JVP
-        requirement; ``fd_mode="frozen-fwd"`` for its one-sided stencil
-        (4/7 the replay rows, ~3e-6 Jacobian accuracy — right for
-        warm-started sweeps); ``fd_mode="central"`` for plain central FD
-        on the full map.
+      stage2_ncfg: df64 stage config; default ``fd_mode="frozen-fwd"``
+        with ``stage2_tolerance`` (capture-range staging, see module
+        docstring) — the one-sided frozen-schedule stencil through
+        :func:`newton_solve_frozen`: fused residual + frozen-outcome FD
+        Jacobian in one batched ``(n+1)``-point replay launch per
+        iteration, no JVP requirement, ~3e-6 relative Jacobian accuracy.
+        Measured on-chip at N=4096 (warm staged solve, cold + perturbed
+        guesses both <= 1e-8): frozen-fwd 7.07 s vs frozen-central
+        8.16 s vs exact 14.7 s.  Pass ``fd_mode="frozen"`` for the
+        central ``(2n+1)``-point stencil (~3e-7 — the better exported
+        Jacobian when it feeds eigenvalue analysis near criticality),
+        ``fd_mode="exact"`` for machine-grade jacfwd through the replay
+        (the robustness reference), or ``fd_mode="central"`` for plain
+        central FD on the full map.
       stage2_tolerance: override for the stage-2 stopping norm
         (default ``5 * tolerance``).
       polish_iterations: frozen-Jacobian polish budget (each is one map
@@ -402,8 +409,19 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         # divergence cutoff here was tried and rejected: an early
         # transient overshoot is normal from a rough hand-off, and
         # cutting it off hands the polish a diverged iterate).
+        # Default mode "frozen-fwd" per the on-chip A/B (N=4096 R=64,
+        # warm end-to-end staged solve, cold guess + perturbed re-solve
+        # both converged <= 1e-8): frozen-fwd 7.07 s, frozen-central
+        # 8.16 s, exact-jacfwd 14.7 s.  The one-sided frozen stencil's
+        # ~3e-6 Jacobian accuracy is orders beyond what Newton needs,
+        # and newton_solve_frozen's backtracking + eps-refresh hardening
+        # carries the robustness duty.  Pass fd_mode="exact" for
+        # machine-grade exported Jacobians (jacfwd through the replay),
+        # or "frozen" when the Jacobian feeds eigenvalue analysis near
+        # criticality (~3e-7, central stencil).
         stage2_ncfg = NewtonConfig(tolerance=stage2_tolerance,
-                                   max_iterations=6, fd_mode="exact")
+                                   max_iterations=6, fd_mode="frozen-fwd",
+                                   fd_epsilon=1e-6)
 
     # The cached programs bake in everything below — a cache built under a
     # different identity would silently solve the wrong problem (e.g. a

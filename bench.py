@@ -378,10 +378,10 @@ def bench_newton_1e8():
     Z0 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float32)
 
     # The staged recipe lives in the library (solvers/staged.py): fp32
-    # windowed-Pallas Newton to ~2e-5, df64 replay Newton with exact
-    # forward-mode Jacobians down to the polish capture range (5e-8 —
-    # each jacfwd iteration costs ~4.9 s vs ~0.7 s per frozen-Jacobian
-    # eval, so the exact stage stops early), then the best-iterate
+    # windowed-Pallas Newton to ~2e-5, df64 frozen-fwd replay Newton
+    # (fused one-sided frozen-schedule FD — the default since the
+    # on-chip A/B: 7.07 s vs 8.16 frozen-central vs 14.7 exact) down to
+    # the polish capture range (5e-8), then the best-iterate
     # frozen-Jacobian polish to the 1e-8 target on the event-reordering
     # jump landscape.
     cfg64 = ModelConfig(n_neurons=4096, n_real=64, dtype="float64",
@@ -428,16 +428,13 @@ def bench_newton_1e8():
         t_eval.append(time.perf_counter() - t0)
     t_replay_eval = min(t_eval)
 
-    # Frozen-schedule fused-FD variant (solvers/staged.py
-    # newton_solve_frozen): replaces stage 2's jacfwd (~8x a forward eval)
-    # with ONE batched 7-point frozen-outcome replay per iteration.
-    # Measured to decide the staged default; fail-soft so a compile issue
-    # here never takes down the exact-mode numbers above.
+    # Stage-2 mode variants beside the (frozen-fwd) default headline:
+    # "exact" = jacfwd through the replay (the machine-grade-Jacobian
+    # robustness reference; the pre-flip default), "frozen" = central
+    # (2n+1)-point stencil.  Fail-soft so a compile issue here never
+    # takes down the headline numbers above.
     frozen = {}
-    for mode, ep in (("frozen", 1e-5), ("frozen-fwd", 1e-6)):
-        # "frozen-fwd" = the one-sided stencil: (n+1) replay rows per
-        # iteration instead of (2n+1) — measured here beside central to
-        # decide the staged default for sweeps
+    for mode, ep in (("exact", 1e-6), ("frozen", 1e-5)):
         try:
             from armadillocudalinearinterpolation_tpu import NewtonConfig
             ncfg_f = NewtonConfig(tolerance=5e-8, max_iterations=6,
@@ -706,8 +703,8 @@ def main():
         extras["newton_final_norm"] = norm
         extras["replay_vs_f64emu_residual_delta"] = d_emu
         for mode, (t_f, norm_f) in frozen.items():
-            tag = "newton_frozen_fwd" if mode == "frozen-fwd" \
-                else "newton_frozen"
+            tag = {"exact": "newton_exact", "frozen": "newton_frozen",
+                   "frozen-fwd": "newton_frozen_fwd"}[mode]
             if t_f is not None:
                 extras[f"{tag}_N4096_s"] = round(t_f, 2)
             extras[f"{tag}_final_norm"] = norm_f
