@@ -104,19 +104,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "emulated-f64 cost; requires --dtype float64")
     p.add_argument("--stage2-fd",
                    choices=["frozen-fwd", "frozen", "exact", "central"],
-                   default="frozen-fwd",
+                   default=None,
                    help="--staged accurate-stage Jacobian mode: frozen-fwd "
-                        "(default — measured fastest on chip: 7.07 s vs "
-                        "8.16 frozen / 14.7 exact for the N=4096 1e-8 "
+                        "(the default — measured fastest on chip: 7.07 s "
+                        "vs 8.16 frozen / 14.7 exact for the N=4096 1e-8 "
                         "solve) = fused residual + one-sided frozen-"
                         "schedule FD, one batched (n+1)-point replay per "
                         "iteration, ~3e-6 Jacobian accuracy (solvers/"
                         "staged.py newton_solve_frozen); frozen = central "
-                        "(2n+1)-point stencil, ~3e-7 (better when the "
-                        "exported Jacobian feeds eigenvalue analysis); "
-                        "exact = jacfwd through the replay (machine-grade "
-                        "Jacobians); central = plain central FD on the "
-                        "full map")
+                        "(2n+1)-point stencil, ~3e-7 — the default when "
+                        "--stability is set, since that eigendecomposes "
+                        "the exported Jacobian; exact = jacfwd through "
+                        "the replay (machine-grade Jacobians); central = "
+                        "plain central FD on the full map")
     p.add_argument("--damping", type=float, default=1.0)
     p.add_argument("--quiet", action="store_true")
     # continuation (Driver.cu:86-114)
@@ -279,7 +279,7 @@ def _run(args) -> int:
             print(f"warning: {flags} ignored with --staged (the staged "
                   "recipe uses its own stage configs; see "
                   "solvers/staged.py)", file=sys.stderr)
-    elif args.stage2_fd != "frozen-fwd":
+    elif args.stage2_fd is not None:
         print("warning: --stage2-fd only takes effect with --staged",
               file=sys.stderr)
     if not args.staged and args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
@@ -328,12 +328,29 @@ def _run(args) -> int:
         # one cache across the sweep: (params, key) are traced arguments of
         # every cached program, so step 2 onward re-traces nothing
         staged_cache = {}
-        stage2_ncfg = None   # frozen-fwd: the library default
-        if args.stage2_fd != "frozen-fwd":
+        # Unspecified --stage2-fd resolves to the library default
+        # (frozen-fwd; exact under an explicit xla backend, which the
+        # frozen modes' unconditional replay would silently override),
+        # EXCEPT under --stability: that eigendecomposes the exported
+        # stage-2 Jacobian, where the central frozen stencil's ~3e-7
+        # accuracy (vs frozen-fwd's ~3e-6) is the better grade near a
+        # stability boundary ("exact" on the xla backend, same reason).
+        if args.stage2_fd is not None:
+            stage2_fd = args.stage2_fd
+        elif args.evolve_backend == "xla":
+            stage2_fd = "exact"
+        else:
+            stage2_fd = "frozen" if args.stability else "frozen-fwd"
+        # None defers to the library's backend-aware default; an EXPLICIT
+        # flag always builds a config, so a conflicting combination (a
+        # frozen mode with a non-replay backend) fails loudly in the
+        # library instead of being silently re-resolved here
+        stage2_ncfg = None
+        if not (args.stage2_fd is None and stage2_fd == "frozen-fwd"):
             stage2_ncfg = NewtonConfig(
                 tolerance=5.0 * args.tol, max_iterations=6,
-                fd_mode=args.stage2_fd,
-                fd_epsilon=1e-5 if args.stage2_fd == "frozen" else 1e-6)
+                fd_mode=stage2_fd,
+                fd_epsilon=1e-5 if stage2_fd == "frozen" else 1e-6)
 
         def solve(p, k, z):
             # backend resolution (auto/pallas -> replay) lives in the

@@ -92,9 +92,16 @@ class ModelConfig:
     #   "cond"  — per-event lax.cond on the measured |z| bound: exp_small
     #             when every live row is within SMALL_EXP_BOUND, full
     #             range-reduced exp_fast otherwise.  Exact everywhere;
-    #             the right choice under vmap (where "hoisted" degrades
-    #             to both-loops) — the flat-tiled batched paths don't
-    #             vmap, so that hazard stays theoretical in-package.
+    #             the right choice under vmap, where "hoisted" degrades
+    #             to both-loops.  The package's own vmapped consumers
+    #             are the plain FD-Jacobian paths on the replay backend
+    #             (solvers/newton.py fd_jacobian/central_fd_jacobian —
+    #             NOT the flat-tiled frozen/staged paths, which batch by
+    #             tiling rows); measured there on chip (7-point vmapped
+    #             central FD, N=1024 R=16, warm ms, identical results):
+    #             small 206, fast 210, cond 213, hoisted 263 — the
+    #             hoisted default costs ~24% on that niche path, so pin
+    #             "cond" for vmap-heavy replay workloads.
     #   "small" — exp_small hardcoded.  A live row whose |z| exceeds the
     #             bound on some event is REJECTED via the consistency flag
     #             (never silently mis-evolved), so this is exact-or-rejected:
@@ -109,9 +116,9 @@ class ModelConfig:
     #             everywhere with no per-event cond (a loop inside a
     #             branch cannot be if-converted); ~2x cost in the rare
     #             rerun case.  THE DEFAULT per the chip measurement
-    #             above; degrades to both-loops under vmap (the
-    #             flat-tiled batched paths don't vmap — use "cond"
-    #             for external vmapped callers).
+    #             above; degrades to both-loops under vmap (measured
+    #             +24% on the vmapped FD path, see "cond" above — use
+    #             "cond" for vmapped callers).
     replay_exp_mode: str = "hoisted"
     dtype: str = "float32"
 

@@ -309,9 +309,10 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         :func:`newton_solve_frozen`: fused residual + frozen-outcome FD
         Jacobian in one batched ``(n+1)``-point replay launch per
         iteration, no JVP requirement, ~3e-6 relative Jacobian accuracy.
-        Measured on-chip at N=4096 (warm staged solve, cold + perturbed
-        guesses both <= 1e-8): frozen-fwd 7.07 s vs frozen-central
-        8.16 s vs exact 14.7 s.  Pass ``fd_mode="frozen"`` for the
+        Measured on-chip at N=4096 (warm staged solve from cold and
+        perturbed guesses): frozen-fwd 7.07 s (both <= 1e-8) vs
+        frozen-central 8.16 s (one pass landed at 1.2e-8) vs exact
+        14.7 s (both <= 1e-8).  Pass ``fd_mode="frozen"`` for the
         central ``(2n+1)``-point stencil (~3e-7 — the better exported
         Jacobian when it feeds eigenvalue analysis near criticality),
         ``fd_mode="exact"`` for machine-grade jacfwd through the replay
@@ -410,18 +411,39 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         # transient overshoot is normal from a rough hand-off, and
         # cutting it off hands the polish a diverged iterate).
         # Default mode "frozen-fwd" per the on-chip A/B (N=4096 R=64,
-        # warm end-to-end staged solve, cold guess + perturbed re-solve
-        # both converged <= 1e-8): frozen-fwd 7.07 s, frozen-central
-        # 8.16 s, exact-jacfwd 14.7 s.  The one-sided frozen stencil's
-        # ~3e-6 Jacobian accuracy is orders beyond what Newton needs,
-        # and newton_solve_frozen's backtracking + eps-refresh hardening
-        # carries the robustness duty.  Pass fd_mode="exact" for
-        # machine-grade exported Jacobians (jacfwd through the replay),
-        # or "frozen" when the Jacobian feeds eigenvalue analysis near
-        # criticality (~3e-7, central stencil).
+        # warm end-to-end staged solve from cold and perturbed guesses):
+        # frozen-fwd 7.07 s (both <= 1e-8), frozen-central 8.16 s (one
+        # pass landed at 1.2e-8), exact-jacfwd 14.7 s (both <= 1e-8).
+        # The one-sided frozen stencil's ~3e-6 Jacobian accuracy is
+        # orders beyond what Newton needs, and newton_solve_frozen's
+        # backtracking + eps-refresh hardening carries the robustness
+        # duty.  Pass fd_mode="exact" for machine-grade exported
+        # Jacobians (jacfwd through the replay), or "frozen" when the
+        # Jacobian feeds eigenvalue analysis near criticality (~3e-7,
+        # central stencil).
+        #
+        # The frozen modes run the df64 REPLAY unconditionally
+        # (newton_solve_frozen's whole design is the frozen-schedule
+        # replay), so an explicit evolve_backend="xla" — the native/
+        # emulated-f64 oracle path — must not be silently rerouted
+        # through them: its stage 2 defaults to exact jacfwd on the
+        # requested backend instead.
+        mode = "frozen-fwd" if evolve_backend == "replay" else "exact"
         stage2_ncfg = NewtonConfig(tolerance=stage2_tolerance,
-                                   max_iterations=6, fd_mode="frozen-fwd",
+                                   max_iterations=6, fd_mode=mode,
                                    fd_epsilon=1e-6)
+
+    if (stage2_ncfg.fd_mode in ("frozen", "frozen-fwd")
+            and evolve_backend != "replay"):
+        raise ValueError(
+            f"stage2_ncfg.fd_mode={stage2_ncfg.fd_mode!r} runs the df64 "
+            f"replay unconditionally, but evolve_backend="
+            f"{evolve_backend!r} was requested — stage 2 would converge "
+            "on the replay residual while the polish and the final "
+            "converged flag use the requested backend's (they differ by "
+            "the ~1e-8 replay-vs-f64 delta).  Use evolve_backend='replay' "
+            "with the frozen modes, or fd_mode='exact'/'central' with "
+            "this backend.")
 
     # The cached programs bake in everything below — a cache built under a
     # different identity would silently solve the wrong problem (e.g. a

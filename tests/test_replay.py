@@ -257,7 +257,12 @@ def test_jacfwd_through_replay_matches_fd(cfg):
     from armadillocudalinearinterpolation_tpu.solvers.newton import (
         central_fd_jacobian)
     params = alt.MapParams.create(13.0589, 0.1, dtype="float64")
-    F_rep = make_residual_fn(cfg, params, KEY, evolve_backend="replay")
+    # pin the per-event-branch reference strategy explicitly: the package
+    # default is "hoisted" since the on-chip A/B, and a default-cfg
+    # reference here would make the hoisted assertion below compare the
+    # hoisted program against itself
+    F_rep = make_residual_fn(cfg.with_(replay_exp_mode="cond"), params,
+                             KEY, evolve_backend="replay")
     F_ref = make_residual_fn(cfg, params, KEY, evolve_backend="xla")
     J_exact = jax.jacfwd(F_rep)(Z64)
     J_fd = central_fd_jacobian(F_ref, Z64, 1e-6)

@@ -271,6 +271,16 @@ def test_staged_guards_and_jacobian(key):
         newton_solve_staged(cfg, params, key, Z0, tolerance=1e-7,
                             jit_cache=cache)
 
+    # a frozen stage-2 mode with a non-replay accurate backend must be
+    # refused: newton_solve_frozen runs the df64 replay unconditionally,
+    # so stage 2 would converge on a residual the polish/converged flag
+    # never see (they use the requested backend's, ~1e-8 away)
+    with pytest.raises(ValueError, match="replay"):
+        newton_solve_staged(
+            cfg, params, key, Z0, tolerance=1e-7, evolve_backend="xla",
+            stage2_ncfg=NewtonConfig(tolerance=5e-7, max_iterations=6,
+                                     fd_mode="frozen", fd_epsilon=1e-5))
+
 
 def test_frozen_cache_identity_guard(key):
     """A jit_cache built for a different (cfg, mesh) must be refused: the
