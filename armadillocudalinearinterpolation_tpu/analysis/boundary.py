@@ -210,8 +210,8 @@ def track_existence_boundary(cfg: ModelConfig, key: jax.Array, Z0, beta0,
         # overshoot never recovers within these budgets)
         import dataclasses
         ncfg = dataclasses.replace(ncfg, divergence_factor=1e4)
-    if ncfg.fd_mode == "frozen":
-        # the frozen corrector evaluates the df64 REPLAY's smooth piece,
+    if ncfg.fd_mode in ("frozen", "frozen-fwd"):
+        # the frozen correctors evaluate the df64 REPLAY's smooth piece,
         # which this module deliberately avoids (the replay regularises
         # grazing transitions — see the backend pinning below); resolve to
         # exact mode on the f64-exact path instead

@@ -118,7 +118,10 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     # bordered system per branch walk (seconds on the XLA backend, ~13 s
     # on replay) would be pure waste
     walk_cache: dict = {}
-    if ncfg.fd_mode == "frozen":
+    if ncfg.fd_mode in ("frozen", "frozen-fwd"):
+        # (frozen-fwd — the staged solver's default stencil — routes to
+        # the same corrector: the bordered system always differences its
+        # central stencil, see make_arclength_step_frozen)
         from .continuation import make_arclength_step_frozen
         probe = make_arclength_step_frozen(cfg, key, fixed, param, ncfg)
     else:

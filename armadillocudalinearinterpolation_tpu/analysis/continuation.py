@@ -299,9 +299,11 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
             "held value, ncfg, evolve_backend, or PRNG key differ); use "
             "a fresh cache.")
     if "step" not in cache:
-        if ncfg.fd_mode == "frozen":
+        if ncfg.fd_mode in ("frozen", "frozen-fwd"):
             # fused frozen-outcome FD corrector (host loop, replay map);
-            # evolve_backend is implicit there
+            # evolve_backend is implicit there.  frozen-fwd — the staged
+            # solver's default stencil — routes to the same corrector:
+            # the bordered system always differences its central stencil.
             cache["step"] = make_arclength_step_frozen(cfg, key, fixed,
                                                        param, ncfg)
         else:

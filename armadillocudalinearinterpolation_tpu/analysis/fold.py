@@ -92,9 +92,9 @@ def solve_fold(cfg: ModelConfig, key: jax.Array, Z0, v0, beta0, sigma, *,
     # exact mode would need second derivatives through the event-time
     # custom JVP; pin finite differences for the extended system.  replace()
     # keeps every other field (divergence_factor in particular) intact.
-    if ncfg.fd_mode in ("exact", "frozen"):
-        # ("frozen" likewise: the fused frozen-FD corrector differences the
-        # plain map, not the J.v Moore-Spence rows)
+    if ncfg.fd_mode in ("exact", "frozen", "frozen-fwd"):
+        # (the frozen modes likewise: the fused frozen-FD corrector
+        # differences the plain map, not the J.v Moore-Spence rows)
         ncfg = dataclasses.replace(ncfg, fd_mode="central", fd_epsilon=1e-6)
     cache = jit_cache if jit_cache is not None else {}
     ident = (cfg, ncfg, evolve_backend, key_fingerprint(key))

@@ -48,13 +48,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-4)
     p.add_argument("--max-iter", type=int, default=10)
     p.add_argument("--fd-eps", type=float, default=1e-2)
-    p.add_argument("--fd-mode", choices=["forward", "central", "exact"],
+    p.add_argument("--fd-mode",
+                   choices=["forward", "central", "exact", "frozen",
+                            "frozen-fwd"],
                    default="forward",
                    help="Jacobian mode. central FD is O(eps^2); exact uses "
                         "forward-mode autodiff through the whole map "
                         "(implicit-function JVP at the event-time root; "
                         "needs a differentiable evolve backend — xla or "
-                        "replay)")
+                        "replay); frozen/frozen-fwd = fused residual + "
+                        "frozen-schedule FD on the df64 replay map "
+                        "(jacfwd-grade, no JVP; solvers/staged.py "
+                        "newton_solve_frozen — sweeps and the arclength/"
+                        "branch walkers route it to the frozen "
+                        "correctors)")
     p.add_argument("--evolve-backend",
                    choices=["auto", "xla", "pallas", "replay"],
                    default="auto",
@@ -271,18 +278,35 @@ def _run(args) -> int:
         # the staged recipe carries its own stage budgets/damping/FD setup
         # (solvers/staged.py); flag knobs that would otherwise silently
         # not take effect
-        defaults = build_parser().parse_args(["--staged"])
+        parser = build_parser()
         ignored = [f for f in ("max_iter", "fd_eps", "fd_mode", "damping")
-                   if getattr(args, f) != getattr(defaults, f)]
+                   if getattr(args, f) != parser.get_default(f)]
         if ignored:
             flags = ", ".join("--" + f.replace("_", "-") for f in ignored)
             print(f"warning: {flags} ignored with --staged (the staged "
                   "recipe uses its own stage configs; see "
                   "solvers/staged.py)", file=sys.stderr)
+        analysis_mode = next(
+            (f for f in ("arclength", "track_fold", "track_boundary",
+                         "enumerate_branches") if getattr(args, f)), None)
+        if analysis_mode:
+            # those walkers dispatch before the staged solve block and use
+            # their own correctors; an unflagged fall-through here ran a
+            # plain-FD walk while the user believed the hybrid-precision
+            # recipe was active (round-3 review finding)
+            print(f"warning: --staged is ignored with "
+                  f"--{analysis_mode.replace('_', '-')} (walkers use their "
+                  "own correctors; pass --fd-mode frozen for the fused "
+                  "frozen-outcome corrector on the replay map)",
+                  file=sys.stderr)
     elif args.stage2_fd is not None:
         print("warning: --stage2-fd only takes effect with --staged",
               file=sys.stderr)
-    if not args.staged and args.fd_mode != "exact" and args.fd_eps >= cfg.dx:
+    if (not args.staged and args.fd_mode in ("forward", "central")
+            and args.fd_eps >= cfg.dx):
+        # (the exact and frozen modes are exempt: jacfwd takes no stencil,
+        # and the frozen modes difference the frozen-outcome smooth piece —
+        # no seeding staircase in range, and their radius is clamped)
         # The map's spike-index seeding quantises with the grid, so an FD
         # stencil wider than one cell straddles O(dx) staircase steps and
         # can poison the Jacobian (observed: divergence at N=1024 with the
@@ -302,11 +326,18 @@ def _run(args) -> int:
                   f"{args.shard} devices; GSPMD pads the ragged shard",
                   file=sys.stderr)
 
-    # Smoke test, as in Driver.cu:58-59.
+    # Smoke test, as in Driver.cu:58-59.  Under --staged the accurate
+    # backend is the replay ("auto"/"pallas" resolve there in the
+    # library), so probe THAT — the raw auto path at float64 is the XLA
+    # emulated-f64 evolve, a ~13 s/eval program at N=4096 that the staged
+    # pipeline never uses (round-3 review finding).
+    smoke_backend = args.evolve_backend
+    if args.staged and smoke_backend in ("auto", "pallas"):
+        smoke_backend = "replay"
     params = MapParams.create(beta, args.sigma, dtype=args.dtype)
     t0 = time.time()
     f0 = event_driven_map(cfg, params, key, Z,
-                          evolve_backend=args.evolve_backend)
+                          evolve_backend=smoke_backend)
     print(f"ComputeF smoke test: |f| = {float(jnp.linalg.norm(f0)):.6e} "
           f"({time.time() - t0:.2f}s incl. compile)")
 
@@ -360,6 +391,16 @@ def _run(args) -> int:
                 stage2_ncfg=stage2_ncfg,
                 evolve_backend=args.evolve_backend,
                 jit_cache=staged_cache, mesh=mesh)
+    elif ncfg.fd_mode in ("frozen", "frozen-fwd"):
+        # fused frozen-outcome solves on the df64 replay map: one batched
+        # stencil replay per iteration, host-driven (newton_solve_frozen);
+        # one cache serves the sweep — (params, key) are traced arguments
+        from ..solvers.staged import newton_solve_frozen
+        frozen_cache = {}
+
+        def solve(p, k, z):
+            return newton_solve_frozen(cfg, p, k, z, ncfg,
+                                       jit_cache=frozen_cache, mesh=mesh)
     else:
         # exact Jacobians differentiate through the map: the Pallas kernel
         # defines no JVP, so exact mode resolves to a differentiable backend
@@ -381,10 +422,14 @@ def _run(args) -> int:
         res = solve(params, key, Z)
         sol = np.asarray(res.solution)
         ok = bool(res.converged)
-        if not args.quiet and not args.staged and not live_log_supported():
+        if (not args.quiet and not args.staged
+                and ncfg.fd_mode not in ("frozen", "frozen-fwd")
+                and not live_log_supported()):
             # Backends without host callbacks (the TPU tunnel) can't print
             # mid-solve; replay the iteration table in the reference format
             # (AbstractNonlinearSolver.cpp:11-95) from the recorded history.
+            # (The frozen modes' host loop already printed it live — it
+            # runs on the host on every backend.)
             print_iteration_table(res, ncfg)
         print(f"step {i}: beta={beta:.4f} converged={ok} "
               f"iters={int(res.iterations)} |r|={float(res.residual_norm):.3e} "

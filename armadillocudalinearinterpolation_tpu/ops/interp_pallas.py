@@ -80,6 +80,58 @@ def _pad_to(x: jax.Array, n: int, axis: int = 0) -> jax.Array:
     return jnp.pad(x, pad)
 
 
+def _pow2_batches(Q: int, target_qb: int = 4096) -> int:
+    """Batch count for the sort-for-locality paths: the largest power of
+    two with row length >= ``target_qb``.
+
+    Qb ~ 4096 measured best at 2M queries with UNSTABLE sorts (longer
+    rows = more groups along the sorted direction = narrower chunk spans;
+    Qb=4096 0.95 ms vs Qb=2048 2.4-3.4 ms vs Qb=8192 1.9 ms).  Power of
+    two is mandatory: XLA's row bitonic pads non-pow2 rows (nb=640..896
+    measured 4x slower)."""
+    return max(8, min(512, 1 << max(0, (Q // target_qb).bit_length() - 1)))
+
+
+def _sort_batches(q: jax.Array, n_batches: int, group: int = _LANE):
+    """Pad ``q`` to ``(n_batches, Qb)`` and value-sort each row, carrying
+    restore indices — the shared front half of every sort-for-locality
+    path (:func:`lerp1d_binned`, the non-uniform ``_interp_sorted``).
+
+    Pads sort to the end of the last batch (+f32max) with sentinel restore
+    index ``Q`` that :func:`_restore_order` drops.  ``is_stable=False``
+    throughout this module: XLA's stable TPU sort costs ~6.4x the unstable
+    one (measured 0.89 vs 0.14 ms per (f32, i32) 1024x2048 batched sort),
+    and no site needs stability — tied query keys produce identical
+    interpolants, restore keys are distinct (or equal only among dropped
+    pad sentinels).  Returns ``(q_sorted, idx_sorted, Qb, total)``.
+    """
+    Q = q.shape[0]
+    Qb = -(-Q // (n_batches * group)) * group
+    total = n_batches * Qb
+    if total == Q:
+        # exact fit (the common bench/restrict shapes): no pad materialise
+        qp = q
+        iq = jnp.arange(Q, dtype=jnp.int32)
+    else:
+        qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
+        qp = qp.at[:Q].set(q)
+        iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
+            jnp.arange(Q, dtype=jnp.int32))
+    q_s, iq_s = jax.lax.sort((qp.reshape(n_batches, Qb),
+                              iq.reshape(n_batches, Qb)),
+                             dimension=1, num_keys=1, is_stable=False)
+    return q_s, iq_s, Qb, total
+
+
+def _restore_order(iq_s: jax.Array, val: jax.Array, total: int,
+                   Q: int) -> jax.Array:
+    """Batched restore sort by original index (contiguous per batch —
+    each forward batch is a contiguous range of original indices, so the
+    restore batches identically with no cross-batch movement)."""
+    _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1,
+                          is_stable=False)
+    return out.reshape(total)[:Q]
+
 
 # --------------------------------------------------------------------- 1D
 
@@ -153,28 +205,7 @@ def lerp1d_binned(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     shape = xq.shape
     q = xq.reshape(-1).astype(jnp.float32)
     Q = q.shape[0]
-    group = rows_g * _LANE
-    Qb = -(-Q // (n_batches * group)) * group
-    total = n_batches * Qb
-    if total == Q:
-        # exact fit (the common bench/restrict shapes): no pad materialise
-        qp = q
-        iq = jnp.arange(Q, dtype=jnp.int32)
-    else:
-        # pads sort to the end of the last batch (+inf) and carry a sentinel
-        # restore index (Q) that the final slice drops
-        qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
-        qp = qp.at[:Q].set(q)
-        iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
-            jnp.arange(Q, dtype=jnp.int32))
-    # is_stable=False throughout this module: XLA's stable TPU sort costs
-    # ~6.4x the unstable one (measured 0.89 vs 0.14 ms per (f32,i32)
-    # 1024x2048 batched sort), and no site needs stability — tied query
-    # keys produce identical interpolants, restore/bin keys are distinct
-    # (or equal only among dropped pad sentinels)
-    q_s, iq_s = jax.lax.sort((qp.reshape(n_batches, Qb),
-                              iq.reshape(n_batches, Qb)),
-                             dimension=1, num_keys=1, is_stable=False)
+    q_s, iq_s, Qb, total = _sort_batches(q, n_batches, rows_g * _LANE)
 
     n_pad = max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
     n_chunks = n_pad // _LANE
@@ -205,10 +236,7 @@ def lerp1d_binned(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
                                memory_space=pltpu.VMEM),
     )(tab, tab1, q_s, lims))
 
-    # restore: batched sort by original index (contiguous per batch)
-    _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1,
-                          is_stable=False)
-    return out.reshape(total)[:Q].reshape(shape)
+    return _restore_order(iq_s, val, total, Q).reshape(shape)
 
 
 def _lerp1d_kernel(n: int, n_chunks: int, rows: int,
@@ -266,17 +294,11 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
     if fp.shape[0] > MAX_TABLE:
         raise ValueError(f"table too large for VMEM kernel: {fp.shape[0]}")
     if fp.shape[0] > 8192 and xq.size >= 131072:
-        # Batch size trade (uniform queries, 2M x 64k, unstable sorts):
-        # longer rows (smaller nb) put more groups along the sorted
-        # direction, so each group's chunk span narrows — and with
-        # is_stable=False the extra bitonic stages are nearly free.
-        # Measured at Q=2M: Qb=4096 (nb=512) 0.95 ms; Qb=2048 (nb=1024)
-        # 2.4-3.4 ms; Qb=8192 (nb=256) 1.9 ms — target Qb ~ 4096.
-        # nb MUST be a power of two: XLA's row bitonic pads non-pow2 rows
-        # (nb=640..896 measured 4x slower).  NOTE: measure
-        # distribution-controlled; feeding an interpolant back as queries
+        # Batch count per _pow2_batches (Qb ~ 4096 measured best; see its
+        # docstring).  NOTE when re-measuring: control the query
+        # distribution — feeding an interpolant back as queries
         # concentrates them and flatters the sweep (see bench_lerp1d_64k).
-        nb = max(8, min(512, 1 << max(0, (xq.size // 4096).bit_length() - 1)))
+        nb = _pow2_batches(xq.size)
         # match the plain path's output-dtype contract (compute is f32
         # either way; without the cast, x64 callers changed dtype at the
         # routing threshold)
@@ -462,15 +484,8 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
         Batch count targets Qb ~ 4096 like :func:`lerp1d` (with unstable
         sorts, longer rows = narrower per-group spans win)."""
         Q = q.shape[0]
-        NB = max(8, min(512, 1 << max(0, (Q // 4096).bit_length() - 1)))
-        Qb = -(-Q // (NB * _LANE)) * _LANE
-        total = NB * Qb
-        qp = jnp.full((total,), jnp.float32(jnp.finfo(jnp.float32).max))
-        qp = qp.at[:Q].set(q)
-        iq = jnp.full((total,), Q, jnp.int32).at[:Q].set(
-            jnp.arange(Q, dtype=jnp.int32))
-        q_s, iq_s = jax.lax.sort((qp.reshape(NB, Qb), iq.reshape(NB, Qb)),
-                                 dimension=1, num_keys=1, is_stable=False)
+        NB = _pow2_batches(Q)
+        q_s, iq_s, Qb, total = _sort_batches(q, NB)
         val = _x64_safe_call(lambda: pl.pallas_call(
             functools.partial(_interp1d_kernel, n, m, n_chunks, m_chunks, S,
                               NB),
@@ -490,9 +505,7 @@ def make_interp1d(xp, fp, *, oversample: int = 4, rows: int = _ROWS):
             out_specs=pl.BlockSpec((NB, _LANE), lambda g: (0, g),
                                    memory_space=pltpu.VMEM),
         )(xp1_tab, packed, bucket_tab, q_s, lims))
-        _, out = jax.lax.sort((iq_s, val), dimension=1, num_keys=1,
-                              is_stable=False)
-        return out.reshape(total)[:Q]
+        return _restore_order(iq_s, val, total, Q)
 
     @jax.jit
     def interp(xq: jax.Array) -> jax.Array:

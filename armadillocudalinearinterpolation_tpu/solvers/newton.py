@@ -288,6 +288,16 @@ def newton_solve_host(
     n = x0.shape[0]
     dt_ = x0.dtype
     cache = jit_cache if jit_cache is not None else {}
+    # identity guard, like every other cache-sharing entry point: the
+    # cached "F"/"J" programs belong to ONE residual object — a cache
+    # shared across different F objects would silently solve the first
+    # call's map (sweep parameters belong in F_args, which are traced)
+    if cache.setdefault("_F_identity", F) is not F:
+        raise ValueError(
+            "jit_cache was built for a different F object — its cached "
+            "residual/Jacobian programs would silently solve that F.  "
+            "Reuse the same F (vary sweep parameters via F_args) or use "
+            "a fresh cache.")
     Fj_raw = cache.setdefault("F", jax.jit(F))
     Fj = (lambda x: Fj_raw(x, *F_args)) if F_args else Fj_raw
     # hoisted so exact mode traces/lowers the Jacobian program once, not
@@ -376,6 +386,12 @@ def frozen_jacobian_polish(
     is a plain ``|F(solution)|`` — independently verifiable.
     """
     cache = jit_cache if jit_cache is not None else {}
+    if cache.setdefault("_F_identity", F) is not F:
+        raise ValueError(
+            "jit_cache was built for a different F object — its cached "
+            "residual program would silently polish on that F.  Reuse "
+            "the same F (vary sweep parameters via F_args) or use a "
+            "fresh cache.")
     Fj_raw = cache.setdefault("F", jax.jit(F))
     Fj = (lambda x: Fj_raw(x, *F_args)) if F_args else Fj_raw
     x = x0

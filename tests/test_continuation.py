@@ -134,6 +134,18 @@ def test_arclength_frozen_corrector_matches_exact(cfg, key):
         np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y),
                                    atol=5e-8)
 
+    # "frozen-fwd" — the staged solver's DEFAULT stencil — must route to
+    # the same corrector instead of falling through to the generic solver
+    # and raising (round-3 review finding).  The bordered corrector always
+    # differences its central stencil, so one step suffices as the guard.
+    ncfg_ff = NewtonConfig(tolerance=1e-9, max_iterations=12,
+                           fd_mode="frozen-fwd", fd_epsilon=1e-5)
+    ff = continue_branch(cfg, key, Z0, 13.0589, ds=0.3, n_steps=1,
+                         ncfg=ncfg_ff)
+    assert bool(ff[0].converged)
+    np.testing.assert_allclose(np.asarray(ff[0].y), np.asarray(ref[0].y),
+                               atol=5e-8)
+
 
 def test_generic_solvers_reject_frozen_mode():
     """fd_mode="frozen" must fail loudly in the generic solvers instead of
