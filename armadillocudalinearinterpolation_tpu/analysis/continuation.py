@@ -187,7 +187,10 @@ def make_arclength_step_frozen(cfg: ModelConfig, key: jax.Array, fixed,
     @jax.jit
     def sched_at(y):
         params = _params_of(param, y[-1], fixed, dt_)
-        return compute_discrete_outcome(cfg, params, key, y[:-1])
+        # mesh: the discovery evolve partitions over the ensemble like
+        # the stencil replay it feeds
+        return compute_discrete_outcome(cfg, params, key, y[:-1],
+                                        mesh=mesh, mesh_axis=mesh_axis)
 
     @jax.jit
     def fused(y, ep, y_prev, tangent, ds, sched, n_ev, ii):

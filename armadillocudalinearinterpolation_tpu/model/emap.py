@@ -173,7 +173,8 @@ def event_driven_map(cfg: ModelConfig, params: MapParams, key: jax.Array,
 
 def compute_discrete_outcome(cfg: ModelConfig, params: MapParams,
                              key: jax.Array, Z: jax.Array, *,
-                             schedule_backend: str = "auto"):
+                             schedule_backend: str = "auto",
+                             mesh=None, mesh_axis: str = "real"):
     """The map's discrete outcome at ``Z``: ``(schedule, n_events, init_ind)``.
 
     The event-driven map is piecewise smooth: between evaluations its only
@@ -183,10 +184,21 @@ def compute_discrete_outcome(cfg: ModelConfig, params: MapParams,
     :func:`frozen_schedule_map` can evaluate the surrounding smooth piece at
     many nearby points in one batched launch (fused residual + FD Jacobian,
     :func:`..solvers.staged.newton_solve_frozen`).
+
+    ``mesh`` GSPMD-constrains the realisation ensemble over ``mesh_axis``
+    so the discovery evolve partitions with the rest of a mesh-sharded
+    frozen solve (round-3 review: it used to run replicated while only
+    the replay stencil it feeds was spread over the devices).  Under a
+    mesh the schedule backend is pinned to XLA (a ``pallas_call`` cannot
+    be GSPMD-partitioned).
     """
     from .replay import compute_schedule
     Z = Z.astype(cfg.jdtype)
     beta = sample_beta(cfg, params, key)
+    if mesh is not None:
+        from ..parallel.sharding import ensemble_constraint
+        beta = ensemble_constraint(mesh, mesh_axis)(beta)
+        schedule_backend = "xla"
     init_ind = initial_spike_indices(cfg, Z)
     v0, s0 = lift(cfg, params, z_to_u(Z))
     sched, n_ev = compute_schedule(cfg, v0, s0, beta, init_ind,

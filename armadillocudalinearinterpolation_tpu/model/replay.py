@@ -267,8 +267,9 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
     out_dt = v0.dtype
     f64 = out_dt == jnp.float64
 
-    def to_df(x):
-        return D.from_f64(x) if x.dtype == jnp.float64 else D.df(x)
+    # D.df routes f64 inputs through the exact from_f64 split itself now;
+    # the alias stays for the many call sites below
+    to_df = D.df
 
     cfg32 = cfg.with_(dtype="float32", root_tol=max(cfg.root_tol, 1e-6))
     beta_df = to_df(beta)

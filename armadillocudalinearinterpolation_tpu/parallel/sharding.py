@@ -53,7 +53,16 @@ def ensemble_constraint(mesh: Mesh, axis: str = "real"
     realisations over ``axis``, neurons replicated (the event loop needs the
     whole ring per realisation for the argmin and the coupling kick)."""
     def constrain(x: jax.Array) -> jax.Array:
-        spec = P(*([None] * (x.ndim - 2)), axis, None)
+        if x.ndim == 0:
+            return x                       # scalars: nothing to shard
+        if x.ndim == 1:
+            spec = P(axis)                 # per-realisation vector
+        else:
+            # (..., n_real, n_neurons): leading dims (e.g. a vmapped FD
+            # batch) replicated, realisations sharded, ring replicated.
+            # ([None] * (ndim - 2) would silently collapse to [] for
+            # rank < 2 and emit an invalid 2-axis spec — round-3 review)
+            spec = P(*([None] * (x.ndim - 2)), axis, None)
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
     return constrain
 
@@ -112,6 +121,13 @@ def make_gspmd_map_fn(cfg: ModelConfig, mesh: Mesh, axis: str = "real",
     GSPMD-partitioned); ``"auto"``/``"pallas"`` therefore resolve to the
     XLA evolve, ``"replay"`` keeps the df64 schedule replay.
     """
+    if evolve_backend not in ("xla", "auto", "pallas", "replay"):
+        # every unmeshed variant raises on an unknown backend via
+        # select_pallas_evolve; an unvalidated string here would silently
+        # run the XLA evolve instead of the (e.g. mistyped) replay the
+        # caller asked for — different numerics, no error
+        raise ValueError(f"unknown evolve_backend {evolve_backend!r} "
+                         "(use 'xla', 'auto', 'pallas' or 'replay')")
     cst = ensemble_constraint(mesh, axis)
     use_replay = evolve_backend == "replay"
 
@@ -144,8 +160,6 @@ def make_shard_map_residual_fn(cfg: ModelConfig, params: MapParams,
     common-random-numbers across evaluations within a solve.  (Draws differ
     from the single-device layout; at ``sigma == 0`` results are identical.)
     """
-    from jax.sharding import PartitionSpec as P
-
     n_dev = mesh.shape[axis]
     if cfg.n_real % n_dev:
         raise ValueError(f"n_real={cfg.n_real} must divide over {n_dev} "

@@ -131,8 +131,11 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
             "for a different setup.")
 
     if "sched" not in cache:
+        # mesh: the discovery evolve partitions over the ensemble like the
+        # stencil replay it feeds (it used to run replicated under a mesh)
         cache["sched"] = jax.jit(
-            lambda z, p, k: compute_discrete_outcome(cfg, p, k, z))
+            lambda z, p, k: compute_discrete_outcome(
+                cfg, p, k, z, mesh=mesh, mesh_axis=mesh_axis))
     fused_key = ("fused_fwd" if fwd else "fused") \
         + ("@mesh" if mesh is not None else "")
     if fused_key not in cache:

@@ -89,10 +89,19 @@ def compare_dumps(dir_a: str | os.PathLike, dir_b: str | os.PathLike,
         if x.shape != y.shape:
             bad.append(f"{f.stem}: shape {x.shape} vs {y.shape}")
             continue
-        err = float(np.nanmax(np.abs(x - y))) if x.size else 0.0
+        # NaN-pattern mismatches (one side rejected all realisations ->
+        # NaN mean, the other finite) are exactly what nanmax would drop —
+        # the reported error must name them, not show a misleading finite
+        # (or 0.0) max over the remaining slots (round-3 review finding)
+        nan_mismatch = int(np.sum(np.isnan(x) != np.isnan(y)))
+        both = ~(np.isnan(x) | np.isnan(y))
+        err = float(np.max(np.abs(x[both] - y[both]))) if both.any() else 0.0
         report[f.stem] = err
         if not np.allclose(x, y, rtol=rtol, atol=atol, equal_nan=True):
-            bad.append(f"{f.stem}: max|diff|={err:.3e}")
+            msg = f"{f.stem}: max|diff|={err:.3e}"
+            if nan_mismatch:
+                msg += f" + {nan_mismatch} NaN-pattern mismatches"
+            bad.append(msg)
     if bad:
         raise AssertionError("stage dumps differ: " + "; ".join(bad))
     return report

@@ -87,7 +87,17 @@ def two_prod(a, b):
 # ------------------------------------------------------------- construction
 
 def df(hi, lo=None) -> DF:
-    """Promote an f32 array (or hi/lo pair) to a :class:`DF`."""
+    """Promote an f32 array (or hi/lo pair) to a :class:`DF`.
+
+    An f64 array with no explicit ``lo`` routes through :func:`from_f64`
+    (exact split) — a plain f32 cast would silently drop the low 29
+    mantissa bits, degrading every downstream op to single precision,
+    which is exactly what a caller handing df64 an f64 array is trying
+    to avoid (round-3 review finding; ``model/replay.py`` used to carry
+    its own ``to_df`` wrapper for this).
+    """
+    if lo is None and getattr(hi, "dtype", None) == jnp.float64:
+        return from_f64(hi)
     hi = jnp.asarray(hi, _F32)
     if lo is None:
         lo = jnp.zeros_like(hi)

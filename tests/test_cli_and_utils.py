@@ -130,9 +130,51 @@ def test_checkpoint_tolerates_truncated_tail(tmp_path):
         warnings.simplefilter("ignore")
         steps = ck.load_all()
     assert [s.index for s in steps] == [0, 1]
-    # mid-file corruption is still a hard error
-    lines = (tmp_path / "c" / "steps.jsonl").read_text().splitlines()
-    (tmp_path / "c" / "steps.jsonl").write_text(
-        lines[2] + "\n" + lines[0] + "\n")
-    with pytest.raises(ValueError, match="corrupt"):
+
+    # CRASH-THEN-RESAVE (round-3 review finding): the next save must
+    # newline-terminate the truncated tail, NOT merge into it — a merged
+    # line silently dropped the redone step and poisoned every later
+    # load_all once more records followed.
+    ck.save(ContinuationStep(index=2, beta=13.2, solution=2 * np.ones(3),
+                             residual_norm=1e-9, converged=True))
+    ck.save(ContinuationStep(index=3, beta=13.3, solution=3 * np.ones(3),
+                             residual_norm=1e-9, converged=True))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # the fragment line warns
+        steps = ck.load_all()
+        assert [s.index for s in steps] == [0, 1, 2, 3]
+        assert ck.last().index == 3
+    np.testing.assert_array_equal(steps[2].solution, 2 * np.ones(3))
+
+
+def test_checkpoint_tolerates_truncated_final_payload(tmp_path):
+    """An unreadable FINAL npz (crash during a pre-atomic-write save, or a
+    torn disk) drops that step for redo; unreadable mid-history payloads
+    are genuine data loss and raise."""
+    import warnings
+    ck = ContinuationCheckpoint(tmp_path / "c")
+    for i in range(3):
+        ck.save(ContinuationStep(index=i, beta=13.0 + i, converged=True,
+                                 solution=i * np.ones(3),
+                                 residual_norm=1e-9))
+    npz2 = tmp_path / "c" / "step_00002.npz"
+    npz2.write_bytes(npz2.read_bytes()[:20])      # torn final payload
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        steps = ck.load_all()
+        assert [s.index for s in steps] == [0, 1]
+        last = ck.last()
+        assert last.index == 1                    # falls back one step
+    np.testing.assert_array_equal(last.solution, np.ones(3))
+    # mid-history payload loss is a hard error
+    (tmp_path / "c" / "step_00000.npz").unlink()
+    with pytest.raises(ValueError, match="mid-history"):
         ck.load_all()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(ValueError, match="mid-history"):
+            # last() reads only the final payload (step 1 readable), so
+            # force the mid-history check via the torn final + missing 0
+            npz1 = tmp_path / "c" / "step_00001.npz"
+            npz1.write_bytes(npz1.read_bytes()[:20])
+            ck.last()
