@@ -68,6 +68,7 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                        jump_min_dist: float = 0.3,
                        dedupe_tol: float = 0.05,
                        callback: Optional[Callable] = None,
+                       mesh=None, mesh_axis: str = "real",
                        **walk_kw) -> list[Branch]:
     """Enumerate solution families reachable from ``(Z0, beta0)``.
 
@@ -123,7 +124,15 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
         # the same corrector: the bordered system always differences its
         # central stencil, see make_arclength_step_frozen)
         from .continuation import make_arclength_step_frozen
-        probe = make_arclength_step_frozen(cfg, key, fixed, param, ncfg)
+        probe = make_arclength_step_frozen(cfg, key, fixed, param, ncfg,
+                                           mesh=mesh, mesh_axis=mesh_axis)
+    elif mesh is not None:
+        # same contract as continue_branch: only the frozen corrector
+        # shards — fail loudly instead of silently walking unsharded
+        raise ValueError(
+            "mesh-sharded branch enumeration needs a frozen corrector: "
+            "pass ncfg with fd_mode='frozen' (or 'frozen-fwd'), or drop "
+            "the mesh")
     else:
         probe = make_arclength_step_jit(cfg, key, fixed, param, ncfg,
                                         backend)
@@ -170,7 +179,8 @@ def enumerate_branches(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
             cfg, key, Zs, walk_beta0, sigma=walk_sigma, param=param,
             ds=ds, n_steps=n_steps, direction=direction, ncfg=ncfg,
             evolve_backend=backend, callback=cb, tangent0=tan0,
-            reject_hook=tunnels.append, jit_cache=walk_cache, **walk_kw)
+            reject_hook=tunnels.append, jit_cache=walk_cache,
+            mesh=mesh, mesh_axis=mesh_axis, **walk_kw)
         if not steps:
             continue
         pts = np.stack([np.asarray(s.y) for s in steps])

@@ -257,7 +257,8 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
                     max_step_factor: Optional[float] = 4.0,
                     tangent0: Optional[jax.Array] = None,
                     callback=None, reject_hook=None,
-                    jit_cache: Optional[dict] = None) -> list[ArcStep]:
+                    jit_cache: Optional[dict] = None,
+                    mesh=None, mesh_axis: str = "real") -> list[ArcStep]:
     """Walk a solution branch with adaptive pseudo-arclength steps.
 
     Starts from a converged point ``(Z0, beta0)`` and returns the list of
@@ -293,22 +294,31 @@ def continue_branch(cfg: ModelConfig, key: jax.Array, Z0, beta0, *,
     # the held value is BAKED into the corrector program (unlike the walked
     # one, which lives in y) — callers sharing a jit_cache across walks
     # (the branch enumerator) must keep the whole walk setup identical
+    if mesh is not None and ncfg.fd_mode not in ("frozen", "frozen-fwd"):
+        # only the frozen bordered corrector takes a mesh (its fused
+        # stencil shards natively); silently walking unsharded would hand
+        # the caller a different program than the one they asked for
+        raise ValueError(
+            "mesh-sharded branch walks need a frozen corrector: pass "
+            "ncfg with fd_mode='frozen' (or 'frozen-fwd'), or drop the "
+            "mesh")
     cache = jit_cache if jit_cache is not None else {}
     ident = (cfg, param, float(fixed), ncfg, evolve_backend,
-             key_fingerprint(key))
+             key_fingerprint(key), mesh, mesh_axis)
     if cache.setdefault("_identity", ident) != ident:
         raise ValueError(
             "jit_cache was built for a different walk setup (cfg, param, "
-            "held value, ncfg, evolve_backend, or PRNG key differ); use "
-            "a fresh cache.")
+            "held value, ncfg, evolve_backend, PRNG key, or mesh differ); "
+            "use a fresh cache.")
     if "step" not in cache:
         if ncfg.fd_mode in ("frozen", "frozen-fwd"):
             # fused frozen-outcome FD corrector (host loop, replay map);
             # evolve_backend is implicit there.  frozen-fwd — the staged
             # solver's default stencil — routes to the same corrector:
             # the bordered system always differences its central stencil.
-            cache["step"] = make_arclength_step_frozen(cfg, key, fixed,
-                                                       param, ncfg)
+            cache["step"] = make_arclength_step_frozen(
+                cfg, key, fixed, param, ncfg, mesh=mesh,
+                mesh_axis=mesh_axis)
         else:
             cache["step"] = make_arclength_step_jit(cfg, key, fixed, param,
                                                     ncfg, evolve_backend)

@@ -345,14 +345,27 @@ def _run(args) -> int:
         dump_map_stages(cfg, params, key, Z, args.debug_dump)
         print(f"stage dumps written to {args.debug_dump}/")
 
+    if mesh is not None and (args.track_fold or args.track_boundary or (
+            (args.arclength or args.enumerate_branches)
+            and args.fd_mode not in ("frozen", "frozen-fwd"))):
+        # fold remaps to central FD (Moore-Spence rows), boundary pins the
+        # exact f64 path, and the non-frozen walkers' correctors take no
+        # mesh — only the frozen bordered corrector shards.  Say so
+        # instead of silently walking unsharded with --shard set.
+        print("warning: --shard is ignored here (only the frozen "
+              "arclength/branch correctors shard: --arclength/"
+              "--enumerate-branches with --fd-mode frozen or frozen-fwd)",
+              file=sys.stderr)
+        mesh = None
     if args.track_fold:
         return run_fold(args, cfg, ncfg, key, Z, beta)
     if args.track_boundary:
         return run_boundary(args, cfg, ncfg, key, Z, beta)
     if args.enumerate_branches:
-        return run_enumerate(args, cfg, ncfg, key, Z, beta)
+        return run_enumerate(args, cfg, ncfg, key, Z, beta, mesh)
     if args.arclength:
-        return run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start)
+        return run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start,
+                             mesh)
 
     if args.staged:
         from ..solvers.staged import newton_solve_staged
@@ -563,7 +576,7 @@ def run_boundary(args, cfg, ncfg, key, Z, beta) -> int:
     return 0
 
 
-def run_enumerate(args, cfg, ncfg, key, Z, beta) -> int:
+def run_enumerate(args, cfg, ncfg, key, Z, beta, mesh=None) -> int:
     """Branch-switching enumeration (``--enumerate-branches``)."""
     import os
 
@@ -585,7 +598,7 @@ def run_enumerate(args, cfg, ncfg, key, Z, beta) -> int:
     branches = enumerate_branches(
         cfg, key, Z, beta0, sigma=sigma, param=args.arc_param, ds=args.ds,
         n_steps=args.steps, ncfg=ncfg, evolve_backend=backend,
-        max_branches=args.max_branches,
+        max_branches=args.max_branches, mesh=mesh,
         callback=None if args.quiet else on_step)
 
     for b, br in enumerate(branches):
@@ -604,7 +617,8 @@ def run_enumerate(args, cfg, ncfg, key, Z, beta) -> int:
     return 0
 
 
-def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
+def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start,
+                  mesh=None) -> int:
     """Pseudo-arclength branch walk (``--arclength``)."""
     from ..analysis.continuation import continue_branch
     from ..utils.checkpoint import ContinuationStep
@@ -670,7 +684,7 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start) -> int:
     steps = continue_branch(
         cfg, key, Z, walk_beta0, sigma=walk_sigma, param=args.arc_param,
         ds=args.ds, n_steps=args.steps, direction=args.direction, ncfg=ncfg,
-        evolve_backend=backend,
+        evolve_backend=backend, mesh=mesh,
         max_step_factor=None if args.allow_branch_jump else 4.0,
         tangent0=tangent0, callback=on_step)
     print(f"arclength: {len(steps)} accepted steps"

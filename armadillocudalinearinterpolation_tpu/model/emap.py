@@ -198,7 +198,16 @@ def compute_discrete_outcome(cfg: ModelConfig, params: MapParams,
     if mesh is not None:
         from ..parallel.sharding import ensemble_constraint
         beta = ensemble_constraint(mesh, mesh_axis)(beta)
-        schedule_backend = "xla"
+        if schedule_backend == "pallas":
+            # loud failure, same convention as make_gspmd_map_fn: a
+            # pallas_call cannot be GSPMD-partitioned, and silently
+            # substituting the XLA evolve would hand the caller a
+            # different program than the one they named
+            raise ValueError(
+                "schedule_backend='pallas' cannot be GSPMD-partitioned "
+                "over a mesh; use 'auto' (resolves to the XLA evolve "
+                "under a mesh) or 'xla'")
+        schedule_backend = "xla"          # resolve "auto" under the mesh
     init_ind = initial_spike_indices(cfg, Z)
     v0, s0 = lift(cfg, params, z_to_u(Z))
     sched, n_ev = compute_schedule(cfg, v0, s0, beta, init_ind,

@@ -53,16 +53,19 @@ def ensemble_constraint(mesh: Mesh, axis: str = "real"
     realisations over ``axis``, neurons replicated (the event loop needs the
     whole ring per realisation for the argmin and the coupling kick)."""
     def constrain(x: jax.Array) -> jax.Array:
-        if x.ndim == 0:
-            return x                       # scalars: nothing to shard
-        if x.ndim == 1:
-            spec = P(axis)                 # per-realisation vector
-        else:
-            # (..., n_real, n_neurons): leading dims (e.g. a vmapped FD
-            # batch) replicated, realisations sharded, ring replicated.
-            # ([None] * (ndim - 2) would silently collapse to [] for
-            # rank < 2 and emit an invalid 2-axis spec — round-3 review)
-            spec = P(*([None] * (x.ndim - 2)), axis, None)
+        if x.ndim < 2:
+            # The contract is (..., n_real, n_neurons).  A rank-1 array is
+            # ambiguous — a per-realisation vector wants P(axis), a
+            # per-neuron ring vector wants replication — so guessing here
+            # could silently shard neurons over the realisation axis.
+            # Constrain explicitly at such a call site instead.
+            raise ValueError(
+                f"ensemble_constraint needs (..., n_real, n_neurons) "
+                f"arrays (got rank {x.ndim}); apply an explicit "
+                "with_sharding_constraint for lower-rank values")
+        # leading dims (e.g. a vmapped FD batch) replicated, realisations
+        # sharded, ring replicated
+        spec = P(*([None] * (x.ndim - 2)), axis, None)
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
     return constrain
 

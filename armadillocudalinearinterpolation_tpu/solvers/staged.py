@@ -96,9 +96,10 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
         (GSPMD; see :func:`..model.emap.frozen_schedule_map_batched`).
         The stencil spreads across chips like extra realisations: the
         replay loop itself needs no collectives, so the fused
-        residual-plus-Jacobian launch scales out over ICI.  A solve with
-        ``mesh`` keys its own programs in ``jit_cache`` (suffix
-        ``@mesh``) — a shared cache can serve both forms.
+        residual-plus-Jacobian launch scales out over ICI.  A cache
+        serves exactly ONE ``(cfg, mesh)`` setup — enforced by the
+        identity guard below (the cached schedule/fused programs bake
+        the mesh constraint in); use a fresh cache per setup.
       mesh_axis: mesh axis name for the rows (default ``"real"``).
     """
     cache = jit_cache if jit_cache is not None else {}
@@ -136,8 +137,9 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
         cache["sched"] = jax.jit(
             lambda z, p, k: compute_discrete_outcome(
                 cfg, p, k, z, mesh=mesh, mesh_axis=mesh_axis))
-    fused_key = ("fused_fwd" if fwd else "fused") \
-        + ("@mesh" if mesh is not None else "")
+    # (no mesh suffix: the identity guard above pins one mesh per cache,
+    # so a suffix could never disambiguate anything)
+    fused_key = "fused_fwd" if fwd else "fused"
     if fused_key not in cache:
         def _fused(z, ep, sched, n_ev, ii, p, k):
             e = ep * jnp.eye(n, dtype=dt_)
