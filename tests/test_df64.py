@@ -139,3 +139,23 @@ def test_where_and_neg():
     w = D.where(jnp.asarray([True, False]), a, b)
     np.testing.assert_allclose(np.asarray(D.to_f64(w)), [1.0, 4.0])
     np.testing.assert_allclose(np.asarray(D.to_f64(D.neg(a))), [-1.0, -2.0])
+
+
+def test_df_routes_f64_arrays_through_exact_split():
+    """df() (and hence every Like-accepting op) must not silently truncate
+    an f64 array to single precision: the low mantissa bits go to the lo
+    word via from_f64 (round-3 review finding — ops like D.exp(f64_array)
+    used to degrade to ~1e-8 relative with no warning)."""
+    x = jnp.asarray([1.0 + 1e-12, -0.9, 3.141592653589793])
+    d = D.df(x)
+    # the pair carries ~48 mantissa bits (2^-48 relative), far beyond the
+    # ~2^-24 a plain f32 truncation would leave
+    np.testing.assert_allclose(np.asarray(D.to_f64(d)), np.asarray(x),
+                               rtol=8e-15)
+    assert float(jnp.max(jnp.abs(d.lo))) > 0.0   # lo word carries bits
+    # the arithmetic entry points route through the same split
+    e = np.asarray(D.to_f64(D.exp(x)))
+    np.testing.assert_allclose(e, np.exp(np.asarray(x)), rtol=1e-13)
+    # f32 arrays keep the plain promote (lo == 0)
+    d32 = D.df(x.astype(jnp.float32))
+    assert float(jnp.max(jnp.abs(d32.lo))) == 0.0
