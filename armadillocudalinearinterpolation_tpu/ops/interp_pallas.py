@@ -236,7 +236,11 @@ def lerp1d_binned(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
                                memory_space=pltpu.VMEM),
     )(tab, tab1, q_s, lims))
 
-    return _restore_order(iq_s, val, total, Q).reshape(shape)
+    # caller-dtype contract at the function boundary (compute is f32
+    # either way): an x64 caller of this PUBLIC entry point must not get
+    # a silent dtype change — the same contract lerp1d keeps at :338
+    return _restore_order(iq_s, val, total, Q).reshape(shape) \
+        .astype(xq.dtype)
 
 
 def _lerp1d_kernel(n: int, n_chunks: int, rows: int,
@@ -299,11 +303,8 @@ def lerp1d(xq: jax.Array, fp: jax.Array, x0: float, dx: float,
         # distribution — feeding an interpolant back as queries
         # concentrates them and flatters the sweep (see bench_lerp1d_64k).
         nb = _pow2_batches(xq.size)
-        # match the plain path's output-dtype contract (compute is f32
-        # either way; without the cast, x64 callers changed dtype at the
-        # routing threshold)
-        return lerp1d_binned(xq, fp, x0, dx,
-                             n_batches=nb, rows_g=1).astype(xq.dtype)
+        # lerp1d_binned keeps the caller-dtype contract itself
+        return lerp1d_binned(xq, fp, x0, dx, n_batches=nb, rows_g=1)
     shape = xq.shape
     q = xq.reshape(-1).astype(jnp.float32)
     n = fp.shape[0]

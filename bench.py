@@ -38,6 +38,24 @@ from armadillocudalinearinterpolation_tpu.utils.profiling import (
 enable_compilation_cache()
 
 
+def _chained(op, pts0, H, W):
+    """Chained-iteration maker for the 2D benches: K data-dependent interp
+    calls in one jit (each output feeds the next query set via cheap
+    modulos), so the fitted slope isolates the op from the tunnel's
+    dispatch latency.  Shared by every bilinear bench — the chaining
+    recipe must stay identical across them."""
+    def make(K):
+        @jax.jit
+        def run():
+            def body(_, pp):
+                o = op(pp)
+                rr = (o * 977.0) % (H - 1.0)
+                return jnp.stack([rr, (rr * 1.7) % (W - 1.0)], axis=-1)
+            return jnp.sum(jax.lax.fori_loop(0, K, body, pts0))
+        return run
+    return make
+
+
 def bench_bilinear2d():
     """Config 2: 64 x 256x256 grids, 1M scattered fp32 queries."""
     from armadillocudalinearinterpolation_tpu.ops import interp, interp_pallas
@@ -49,16 +67,7 @@ def bench_bilinear2d():
                               0.0, float(H) - 1.0)
 
     def chained(op):
-        def make(K):
-            @jax.jit
-            def run():
-                def body(_, p):
-                    out = op(p)  # (B, Q)
-                    r = (out * 977.0) % (H - 1.0)
-                    return jnp.stack([r, (r * 1.7) % (W - 1.0)], axis=-1)
-                return jnp.sum(jax.lax.fori_loop(0, K, body, pts0))
-            return run
-        return make
+        return _chained(op, pts0, H, W)
 
     # wide K spread: at ~2-3 ms/iter the device signal must dominate the
     # tunnel's ~0.5-1 ms min-to-min RTT jitter, or the fitted slope can
@@ -203,16 +212,7 @@ def bench_bilinear2d_f64():
     err_p = float(np.max(np.abs(np.asarray(out_p) - ref)))
 
     def chained(op):
-        def make(K):
-            @jax.jit
-            def run():
-                def body(_, pp):
-                    o = op(pp)
-                    rr = (o * 977.0) % (H - 1.0)
-                    return jnp.stack([rr, (rr * 1.7) % (W - 1.0)], axis=-1)
-                return jnp.sum(jax.lax.fori_loop(0, K, body, pts0))
-            return run
-        return make
+        return _chained(op, pts0, H, W)
 
     s_xla = _slope(chained(lambda p: interp.bilinear_batched(p, grids)),
                    k_lo=1, k_hi=3, reps=3, stat=np.min)
@@ -242,16 +242,7 @@ def bench_bilinear2d_binned_1024():
         - interp.bilinear_batched(pts0, grids))))
 
     def chained(op):
-        def make(K):
-            @jax.jit
-            def run():
-                def body(_, p):
-                    out = op(p)
-                    r = (out * 977.0) % (H - 1.0)
-                    return jnp.stack([r, (r * 1.7) % (W - 1.0)], axis=-1)
-                return jnp.sum(jax.lax.fori_loop(0, K, body, pts0))
-            return run
-        return make
+        return _chained(op, pts0, H, W)
 
     s_binned = _slope(chained(
         lambda p: interp_pallas.bilinear_batched(p, grids, method="binned")),
@@ -730,12 +721,17 @@ def main():
                     else v) for k, v in d.items()}
 
     print(json.dumps(_json_safe(extras)), file=sys.stderr)
-    ok = qps is not None and np.isfinite(qps) and np.isfinite(s_xla or np.nan)
+    # the headline value only needs the Pallas measurement; a NaN XLA
+    # baseline slope (its fit uses the weakest settings in the file and
+    # can lose to tunnel jitter) degrades vs_baseline alone, not the
+    # round's headline number
+    ok = qps is not None and np.isfinite(qps)
+    ok_base = ok and s_xla is not None and np.isfinite(s_xla)
     print(json.dumps(_json_safe({
         "metric": "batched_2d_bilinear_interp",
         "value": round(qps / 1e6, 1) if ok else 0.0,
         "unit": "Mqueries/s",
-        "vs_baseline": round(s_xla / s_pallas, 2) if ok else 0.0,
+        "vs_baseline": round(s_xla / s_pallas, 2) if ok_base else 0.0,
     })))
 
 

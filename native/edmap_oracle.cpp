@@ -359,7 +359,12 @@ int edmap_newton_solve(const Params* p, const double* z0, double tol,
                        int* converged, double* jacobian_out) {
   const int n = p->n_spikes;
   std::vector<double> z(z0, z0 + n), fvec(n), df(n), zp(n);
-  std::vector<double> jac(n * n), step(n);
+  // identity, not zeros, when the solve converges at entry (0 iterations
+  // never fill jac): mirrors the JAX NewtonResult contract (newton.py) —
+  // a zero matrix fed to stability analysis would silently classify the
+  // point as having all-zero eigenvalues
+  std::vector<double> jac(n * n, 0.0), step(n);
+  for (int d = 0; d < n; ++d) jac[d * n + d] = 1.0;
   for (int i = 0; i <= max_iterations; ++i)
     residual_history[i] = std::nan("");
 
