@@ -332,7 +332,9 @@ def _run(args) -> int:
     # emulated-f64 evolve, a ~13 s/eval program at N=4096 that the staged
     # pipeline never uses (round-3 review finding).
     smoke_backend = args.evolve_backend
-    if args.staged and smoke_backend in ("auto", "pallas"):
+    if ((args.staged or args.fd_mode in ("frozen", "frozen-fwd"))
+            and smoke_backend in ("auto", "pallas")):
+        # the frozen sweep modes solve on the replay too — same redirect
         smoke_backend = "replay"
     params = MapParams.create(beta, args.sigma, dtype=args.dtype)
     t0 = time.time()
@@ -408,6 +410,17 @@ def _run(args) -> int:
         # fused frozen-outcome solves on the df64 replay map: one batched
         # stencil replay per iteration, host-driven (newton_solve_frozen);
         # one cache serves the sweep — (params, key) are traced arguments
+        if args.evolve_backend == "xla":
+            # same contract as the staged path (solvers/staged.py raises
+            # for frozen + non-replay): the frozen solver runs the df64
+            # replay unconditionally, so an explicit xla request would be
+            # silently ignored and the sweep would converge on a residual
+            # the requested backend never evaluated
+            print("error: --fd-mode frozen/frozen-fwd solves on the df64 "
+                  "replay map; it cannot honor --evolve-backend xla. "
+                  "Drop the backend flag (or use --fd-mode exact/central "
+                  "with the xla backend).", file=sys.stderr)
+            return 2
         from ..solvers.staged import newton_solve_frozen
         frozen_cache = {}
 
@@ -457,9 +470,17 @@ def _run(args) -> int:
         n_unstable = None
         eigenvalues = None
         if args.stability:
-            # A 0-iteration solve exports the identity placeholder, not a
-            # real Jacobian — fall back to finite differences then.
-            jac = np.asarray(res.jacobian) if int(res.iterations) > 0 else None
+            # A 0-iteration GENERIC solve exports the identity placeholder,
+            # not a real Jacobian — fall back to finite differences then.
+            # The staged and frozen solvers always export a real one (the
+            # fused launch computes it, and staged recomputes on 0-iteration
+            # entry), so their exported Jacobian is used unconditionally —
+            # the FD fallback at args.fd_eps (default 1e-2 >= dx on fine
+            # grids) would sit in the seeding-staircase regime those
+            # solvers exist to avoid.
+            exported_real = (int(res.iterations) > 0 or args.staged
+                             or ncfg.fd_mode in ("frozen", "frozen-fwd"))
+            jac = np.asarray(res.jacobian) if exported_real else None
             ev = compute_eigenvalues(
                 make_residual_fn(cfg, params, key), res.solution,
                 ProblemType.EQUATION_FREE, jacobian=jac,
@@ -656,10 +677,14 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start,
     def on_step(i, step):
         b = float(step.y[-1])
         sol = np.asarray(step.y[:-1])
-        print(f"arc step {start + i}: {args.arc_param}={b:.4f} "
-              f"iters={int(step.iterations)} "
-              f"|r|={float(step.residual_norm):.3e} "
-              f"Z={np.array2string(sol, precision=5)}")
+        # --quiet contract (uniform across walkers): suppress per-step
+        # progress lines, keep the final summary; checkpointing and
+        # stability analysis still run
+        if not args.quiet:
+            print(f"arc step {start + i}: {args.arc_param}={b:.4f} "
+                  f"iters={int(step.iterations)} "
+                  f"|r|={float(step.residual_norm):.3e} "
+                  f"Z={np.array2string(sol, precision=5)}")
         n_unstable = None
         eigenvalues = None
         if args.stability:
@@ -672,8 +697,9 @@ def run_arclength(args, cfg, ncfg, key, Z, beta, ckpt, start,
                 ProblemType.EQUATION_FREE, epsilon=args.fd_eps)
             eigenvalues = np.asarray(ev)
             n_unstable = int(count_unstable(ev, ProblemType.EQUATION_FREE))
-            print(f"  -> {'unstable' if n_unstable else 'stable'} "
-                  f"({n_unstable} unstable)")
+            if not args.quiet:
+                print(f"  -> {'unstable' if n_unstable else 'stable'} "
+                      f"({n_unstable} unstable)")
         if ckpt is not None:
             ckpt.save(ContinuationStep(
                 index=start + i, beta=b, solution=sol,

@@ -70,6 +70,28 @@ def test_cli_shard_sweep(capsys):
     assert "converged=True" in out
 
 
+def test_cli_frozen_sweep_with_stability(capsys):
+    """--fd-mode frozen routes the plain sweep through newton_solve_frozen
+    (fused residual + frozen-schedule FD), and --stability consumes its
+    exported REAL Jacobian even on a 0-iteration step (the generic-solver
+    identity-placeholder fallback must not discard it — round-3 review)."""
+    rc = main(ARGS + ["--steps", "2", "--beta-step", "0.1",
+                      "--fd-mode", "frozen", "--max-events", "2048",
+                      "--realisations", "4", "--stability"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("converged=True") == 2
+    assert "eigenvalues" in out
+
+    # frozen + an explicit xla backend is refused loudly (the frozen
+    # solver runs the df64 replay unconditionally — same contract as the
+    # staged path)
+    rc = main(ARGS + ["--steps", "1", "--fd-mode", "frozen",
+                      "--evolve-backend", "xla"])
+    assert rc == 2
+    assert "replay" in capsys.readouterr().err
+
+
 def test_cli_staged_requires_f64(capsys):
     rc = main(["--staged", "--quiet"])
     assert rc == 2

@@ -63,8 +63,10 @@ def test_arclength_step_rejects_then_shrinks(cfg, key):
 
 def test_cli_arclength(capsys, tmp_path):
     from armadillocudalinearinterpolation_tpu.cli.driver import main
+    # no --quiet: per-step progress lines are the thing being asserted
+    # (the --quiet contract suppresses them, uniformly across walkers)
     rc = main(["--neurons", "512", "--realisations", "4",
-               "--dtype", "float64", "--cpu", "--quiet",
+               "--dtype", "float64", "--cpu",
                "--guess", "0.32623663", "0.71936722", "1.36899475",
                "--arclength", "--ds", "0.3", "--steps", "2",
                "--fd-mode", "exact", "--tol", "1e-9",

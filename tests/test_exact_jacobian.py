@@ -53,8 +53,18 @@ def test_event_time_jvp_matches_fd_on_firing_lanes(tight_cfg):
         x = args[argi]
         fd = (f(x + eps) - f(x - eps)) / (2 * eps)
         jv = jax.jvp(f, (x,), (jnp.ones_like(x),))[1]
-        # compare on lanes where the FD stencil stays on one smooth branch
-        both = dec & np.asarray(fire_decision(v0, s0, beta, tight_cfg))
+        # compare on lanes where the FD stencil stays on one smooth branch:
+        # the fire decision must hold at BOTH perturbed points, not just at
+        # x (which would be tautologically equal to `dec` — a lane whose
+        # decision flips inside the stencil differences against the +100
+        # no-fire sentinel and produces an O(1/eps) garbage quotient)
+        def dec_at(xp, argi=argi, args=args):
+            a = list(args)
+            a[argi] = xp
+            return np.asarray(fire_decision(*a, tight_cfg))
+
+        both = dec & dec_at(x + eps) & dec_at(x - eps)
+        assert both.any()   # the guard must leave something to compare
         np.testing.assert_allclose(np.asarray(jv)[both], np.asarray(fd)[both],
                                    rtol=1e-5, atol=1e-7)
         # non-firers: constant sentinel, zero tangent
