@@ -336,7 +336,16 @@ def _run(args) -> int:
             and smoke_backend in ("auto", "pallas")):
         # the frozen sweep modes solve on the replay too — same redirect
         smoke_backend = "replay"
-    params = MapParams.create(beta, args.sigma, dtype=args.dtype)
+    if args.arclength and args.arc_param == "sigma":
+        # on a sigma-axis walk the resumed/walked value in `beta` IS the
+        # sigma — building MapParams(beta=<sigma>, ...) here evaluated the
+        # map at an unphysical point (round-3 review); the held mean rate
+        # stays args.beta, exactly as run_arclength sets up the walk
+        smoke_params = MapParams.create(
+            args.beta, beta if start > 0 else args.sigma, dtype=args.dtype)
+    else:
+        smoke_params = MapParams.create(beta, args.sigma, dtype=args.dtype)
+    params = smoke_params
     t0 = time.time()
     f0 = event_driven_map(cfg, params, key, Z,
                           evolve_backend=smoke_backend)

@@ -125,6 +125,13 @@ class ModelConfig:
     def __post_init__(self):
         if self.n_neurons < 1 or self.n_real < 1 or self.n_spikes < 1:
             raise ValueError("n_neurons, n_real, n_spikes must be positive")
+        if self.max_events < 1:
+            # fails six frames deep otherwise (the replay's schedule
+            # recorder returns a bare result for a 0-length log and the
+            # unpack raises) — validate at config time like every other
+            # field
+            raise ValueError("max_events must be positive (it sizes the "
+                             "event log and the replay scan)")
         if self.vr != 0.0:
             # Every evolve implementation (and the reference itself:
             # EventDrivenMap.cu:615 multiplies by zero, ignoring the vr

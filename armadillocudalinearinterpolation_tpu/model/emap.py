@@ -68,6 +68,16 @@ def select_pallas_evolve(cfg: ModelConfig, evolve_backend: str) -> bool:
     """Resolve the evolve-backend switch (shared by every map variant)."""
     if evolve_backend not in ("auto", "xla", "pallas", "replay"):
         raise ValueError(f"unknown evolve_backend: {evolve_backend!r}")
+    if evolve_backend == "pallas" and cfg.dtype != "float32":
+        # fail loudly, like every other impossible explicit request: the
+        # kernel is fp32-only, and silently computing the evolve in f32
+        # while returning it dressed as f64 would hand the caller a
+        # residual the requested map never evaluated (~1e-4 floor where
+        # ~1e-9 was asked for).  "auto" and "replay" are the f64 routes.
+        raise ValueError(
+            f"evolve_backend='pallas' is fp32-only (cfg.dtype="
+            f"{cfg.dtype!r}); use 'replay' for f64-grade accuracy on "
+            "TPU, or 'auto'/'xla'")
     return evolve_backend == "pallas" or (
         evolve_backend == "auto"
         and cfg.dtype == "float32"

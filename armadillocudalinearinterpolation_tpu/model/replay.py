@@ -329,10 +329,17 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         bj = D.DF(beta_df.hi[rows, j], beta_df.lo[rows, j])
         ibj = D.DF(inv1mb.hi[rows, j], inv1mb.lo[rows, j])
         dt32 = event_time(D.to_f32(vj), D.to_f32(sj), beta32[rows, j], cfg32)
-        # a no-fire sentinel (>= 100, EventDrivenMap.cu:571) here means the
-        # df64 state disagrees with the f32 schedule at a grazing event —
-        # substitute a harmless step and reject the realisation
-        misfire = dt32 > jnp.float32(50.0)
+        # a no-fire sentinel here means the df64 state disagrees with the
+        # f32 schedule at a grazing event — substitute a harmless step and
+        # reject the realisation.  The sentinel is EXACTLY 100 (non-firers
+        # never iterate, so event_time returns |0| + 100; events.py:94 /
+        # EventDrivenMap.cu:571), and a genuinely scheduled event always
+        # has dt < 100 (it won the f32 pass's min-reduction against the
+        # pad value 100, EventDrivenMap.cu:867) — so >= 100 is the exact
+        # test.  An earlier `> 50` cutoff misclassified legitimate long
+        # inter-event gaps dt in (50, 100) (slow lanes near threshold) as
+        # inconsistencies, rejecting rows the schedule pass had accepted.
+        misfire = dt32 >= jnp.float32(100.0)
         dt = D.df(jnp.where(misfire, jnp.float32(0.05), dt32))
         bj32 = beta32[rows, j]
         for _ in range(2):      # two df64 Newton polishes: f32 root -> df64

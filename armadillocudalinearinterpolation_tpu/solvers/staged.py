@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, MapParams, NewtonConfig
 from ..model.emap import (compute_discrete_outcome, event_driven_map,
-                          frozen_schedule_map_batched, make_residual_fn)
+                          frozen_schedule_map_batched)
 from .criterion import residual_norm_criterion
 from .linalg import solve_dense
 from .newton import (NewtonResult, frozen_jacobian_polish, newton_solve,
@@ -466,16 +466,40 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         from ..parallel.sharding import make_gspmd_map_fn
 
     if "stage1" not in cache:
-        if mesh is None:
-            def _stage1(z, p, k):
-                return newton_solve(make_residual_fn(cfg32, p, k), z,
-                                    stage1_ncfg)
-        else:
-            _F32 = make_gspmd_map_fn(cfg32, mesh, mesh_axis, "xla")
+        from ..model import emap as _emap
+        from ..model.restrict import masked_ensemble_mean
 
-            def _stage1(z, p, k):
-                return newton_solve(lambda zz: _F32(zz, p, k), z,
-                                    stage1_ncfg)
+        def _draw32(p32, k):
+            # ONE stochastic realisation across every stage (the docstring
+            # contract): the heterogeneity draw happens at the ACCURATE
+            # dtype and is cast to f32.  jax.random.normal(key, dtype=f32)
+            # is a different bit stream than the f64 draw from the same
+            # key, so sampling per-stage made the fp32 stage solve a
+            # DIFFERENT realisation of the map at sigma > 0 — an O(MC
+            # difference) hand-off error instead of O(f32 rounding)
+            # (round-3 review finding).
+            p_acc = jax.tree.map(lambda x: jnp.asarray(x, dt_acc), p32)
+            return _emap.sample_beta(cfg, p_acc, k).astype(jnp.float32)
+
+        use_pal = (mesh is None
+                   and _emap.select_pallas_evolve(cfg32, "auto"))
+        if mesh is None:
+            cst32 = None
+        else:
+            from ..parallel.sharding import ensemble_constraint
+            cst32 = ensemble_constraint(mesh, mesh_axis)
+
+        def _F32(z, p, k):
+            beta = _draw32(p, k)
+            if cst32 is not None:
+                beta = cst32(beta)
+            U, _, _, _, res, positions = _emap.run_pipeline(
+                cfg32, p, z, beta, use_pallas=use_pal)
+            u_mean, _ = masked_ensemble_mean(positions, res.accept)
+            return _emap.assemble_residual(cfg32, U, u_mean)
+
+        def _stage1(z, p, k):
+            return newton_solve(lambda zz: _F32(zz, p, k), z, stage1_ncfg)
         cache["stage1"] = jax.jit(_stage1)
     r32 = cache["stage1"](Z0.astype(jnp.float32), params32, key)
     jax.block_until_ready(r32.solution)

@@ -157,9 +157,17 @@ def test_frozen_fwd_stencil(key):
     sol = np.asarray(res.solution)
     assert sol[0] > 0 and np.all(sol[0] * sol[1:] > 0) \
         and np.all(sol[0] * sol[1:] < 2 * cfg.half_width), sol
-    # same basin as the direct frozen solve from the same guess — the
+    # same FAMILY as the direct frozen solve from the same guess — the
     # basin_radius rescue must have pulled the fast-family escape back
-    np.testing.assert_allclose(sol, np.asarray(res_c.solution), atol=1e-2)
+    # (fast family: c ~ 0.5, z_2 ~ 10-15).  Exact root identity is NOT
+    # asserted: the map has coexisting same-speed solutions ~0.04 apart
+    # in spike spacing at this rough R=8 sigma=0.1 config (the staged
+    # docstring's documented ambiguity), and which one the fp32 hand-off
+    # lands nearest depends on the stage-1 realisation (it shifted when
+    # stage 1 started sharing the accurate stages' f64 draw).
+    assert abs(sol[0] - float(res_c.solution[0])) < 0.01      # same speed
+    assert float(np.max(np.abs(sol - np.asarray(Z0)))) < 1.0  # in basin_radius
+    np.testing.assert_allclose(sol, np.asarray(res_c.solution), atol=6e-2)
     # and the root checks out through an independent compiled replay oracle
     F = jax.jit(mk(cfg, params, key, evolve_backend="replay"))
     assert float(jnp.linalg.norm(F(res.solution))) < 1.5e-8
@@ -305,3 +313,28 @@ def test_frozen_cache_identity_guard(key):
         newton_solve_frozen(cfg_a, params, key, Z0, ncfg, jit_cache=cache2)
     finally:
         assert cache2["_frozen_identity"] == ("frozen", cfg_a, None, "real")
+
+
+def test_staged_stage1_shares_the_draw(key):
+    """The fp32 stage must solve the SAME stochastic realisation as the
+    accurate stages: jax.random.normal(key, dtype=f32) is a different bit
+    stream than the f64 draw from the same key (measured delta up to ~5
+    sigma), so stage 1 draws at the accurate dtype and casts (round-3
+    review finding).  Checked by evaluating the cached stage-1 program at
+    the accurate root: with the shared draw its entry residual is at the
+    fp32 noise floor; with an independent f32 draw it is at the
+    Monte-Carlo-difference scale (~1e-2 at R=8, sigma=0.1)."""
+    cfg = ModelConfig(n_neurons=512, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=2048)
+    params = MapParams.create(13.0589, 0.1, dtype="float64")
+    cache = {}
+    res = newton_solve_staged(cfg, params, key, Z0, tolerance=1e-7,
+                              jit_cache=cache)
+    assert bool(res.converged)
+    params32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    r32 = cache["stage1"](res.solution.astype(jnp.float32), params32, key)
+    entry = float(r32.residual_history[0])
+    assert entry < 2e-3, (
+        f"stage-1 residual at the accurate root is {entry:.2e} — "
+        "MC-difference scale; the fp32 stage is solving a different "
+        "realisation than the accurate stages")
