@@ -13,13 +13,19 @@ readback costs ~28 ms RTT.  So every measurement chains K data-dependent
 kernel iterations inside one jit and fits the slope between two K values —
 pure device time, no RTT, no dedupe.
 
-Extra (non-headline) numbers go to stderr: 1D lerp throughput, event-driven
-map evaluation, and the Newton-solve wall-clock (BASELINE.md configs 1/3/4).
+Emission protocol (VERDICT r3 #1): the cumulative record — headline fields
+plus every extras key measured so far — is re-printed as one JSON line on
+stdout after EVERY stage, so the last complete stdout line is always the
+full record-so-far and a driver timeout can only truncate coverage, never
+zero it.  Judged stages (BASELINE.md configs 2/4/5/3) run first and
+unconditionally; the remaining stages are skipped once the wall-clock
+budget (BENCH_BUDGET_S, default 1500 s) is spent, each skip recorded.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -36,6 +42,18 @@ from armadillocudalinearinterpolation_tpu.utils.profiling import (
 # Persistent compile cache: the Pallas evolve kernel's first Mosaic compile
 # is minutes per shape; pay it once per machine, not per bench run.
 enable_compilation_cache()
+
+# ---------------------------------------------------------------------------
+# Wall-clock budget (VERDICT r3 #1: one slow stage must never zero the whole
+# round's record).  The driver's observed window is ~29 min; default to 25 so
+# the final emission always lands.  Judged stages always run; optional stages
+# are skipped once the budget is spent (each skip is recorded).
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
 
 
 def _chained(op, pts0, H, W):
@@ -256,7 +274,12 @@ def bench_pallas_parity():
     """VERDICT #2: driver-captured Pallas-vs-XLA evolve parity on real TPU.
 
     Max |Delta f| between the two evolve backends at the reference point
-    (reference contract: EvolveKernel, EventDrivenMap.cu:575-674)."""
+    (reference contract: EvolveKernel, EventDrivenMap.cu:575-674).
+
+    The f32 backends are compared at the judged N=1024 shape; the
+    emulated-f64 anchor runs at N=512, R=64 (VERDICT r3 #3 — the
+    f32-vs-f64 delta it validates is shape-independent, and the emulated
+    evolve is the ~13 s/eval path the replay exists to avoid)."""
     from armadillocudalinearinterpolation_tpu import (
         ModelConfig, MapParams, event_driven_map)
 
@@ -274,13 +297,17 @@ def bench_pallas_parity():
     # anchor both f32 backends against the on-chip f64 map (same key/draws):
     # the meaningful claim is that the Pallas kernel adds no error beyond
     # f32 itself, not that two f32 op orders agree bitwise
-    cfg64 = ModelConfig(n_neurons=1024, n_real=256, dtype="float64",
-                        root_tol=1e-12, evolve_window=256)
+    cfg_s = ModelConfig(n_neurons=512, n_real=64, dtype="float32",
+                        evolve_window=128)
+    f_p_s = event_driven_map(cfg_s, params, key, Z, evolve_backend="pallas")
+    f_x_s = event_driven_map(cfg_s, params, key, Z, evolve_backend="xla")
+    cfg64 = ModelConfig(n_neurons=512, n_real=64, dtype="float64",
+                        root_tol=1e-12, evolve_window=128)
     params64 = MapParams.create(13.0589, 0.1, dtype="float64")
     f_64 = event_driven_map(cfg64, params64, key, Z.astype(jnp.float64),
                             evolve_backend="xla")
-    d_p64 = float(jnp.max(jnp.abs(f_p.astype(jnp.float64) - f_64)))
-    d_x64 = float(jnp.max(jnp.abs(f_x.astype(jnp.float64) - f_64)))
+    d_p64 = float(jnp.max(jnp.abs(f_p_s.astype(jnp.float64) - f_64)))
+    d_x64 = float(jnp.max(jnp.abs(f_x_s.astype(jnp.float64) - f_64)))
     return (float(jnp.max(jnp.abs(f_p - f_x))),
             float(jnp.max(jnp.abs(f_w - f_p))), d_p64, d_x64)
 
@@ -419,13 +446,16 @@ def bench_newton_1e8():
         t_eval.append(time.perf_counter() - t0)
     t_replay_eval = min(t_eval)
 
-    # Stage-2 mode variants beside the (frozen-fwd) default headline:
-    # "exact" = jacfwd through the replay (the machine-grade-Jacobian
-    # robustness reference; the pre-flip default), "frozen" = central
-    # (2n+1)-point stencil.  Fail-soft so a compile issue here never
-    # takes down the headline numbers above.
+    # ONE stage-2 mode variant beside the (frozen-fwd) default headline
+    # (VERDICT r3 #3 cut the exact+frozen pair to a single fail-soft
+    # variant): "exact" = jacfwd through the replay, the machine-grade-
+    # Jacobian robustness reference.  Runs only when >= 10 min of budget
+    # remain so it can never cost the judged stages their record.
     frozen = {}
-    for mode, ep in (("exact", 1e-6), ("frozen", 1e-5)):
+    variants = [("exact", 1e-6)] if _remaining() >= 600.0 else []
+    if not variants:
+        frozen["exact"] = (None, f"skipped: {_remaining():.0f}s budget left")
+    for mode, ep in variants:
         try:
             from armadillocudalinearinterpolation_tpu import NewtonConfig
             ncfg_f = NewtonConfig(tolerance=5e-8, max_iterations=6,
@@ -454,13 +484,14 @@ def bench_replay_exp_modes():
     """ROADMAP on-chip A/B: the df64 replay's small-exp strategy.
 
     Times one warm df64-replay map evaluation (f32 Pallas schedule pass +
-    replay scan) at N=4096, R=64, sigma=0.1 for every
-    ``ModelConfig.replay_exp_mode``.  Decided 2026-08-19 (v5e, warm
-    ms/eval, bitwise-identical results): small 231.0, hoisted 234.7,
+    replay scan) for the default ``ModelConfig.replay_exp_mode`` vs ONE
+    alternative, at N=2048 (VERDICT r3 #3 shrank this stage from four
+    N=4096 programs).  Full decision record, 2026-08-19 (v5e, N=4096,
+    warm ms/eval, bitwise-identical results): small 231.0, hoisted 234.7,
     cond 249.4, fast 271.3 — the per-event cond partially executes both
-    branches, so the default is now "hoisted" (config.py).  The stage
-    keeps running as a regression guard; residual deltas vs 'cond' are
-    recorded so a fast-but-wrong mode can never pass silently.
+    branches, so the default is "hoisted" (config.py).  The stage keeps
+    running as a regression guard; the residual delta between the two
+    modes is recorded so a fast-but-wrong mode can never pass silently.
     """
     from armadillocudalinearinterpolation_tpu import (
         ModelConfig, MapParams, make_residual_fn)
@@ -471,8 +502,8 @@ def bench_replay_exp_modes():
     params = MapParams.create(13.0589, 0.1, dtype="float64")
     out = {}
     ref = None
-    for mode in ("cond", "small", "fast", "hoisted"):
-        cfg = ModelConfig(n_neurons=4096, n_real=64, dtype="float64",
+    for mode in ("hoisted", "small"):
+        cfg = ModelConfig(n_neurons=2048, n_real=64, dtype="float64",
                           root_tol=1e-12, evolve_window=512,
                           max_events=4096, replay_exp_mode=mode)
         F = jax.jit(make_residual_fn(cfg, params, key,
@@ -551,7 +582,7 @@ def bench_sweep_100pt():
     return t / n_steps, n_conv, unstable
 
 
-def _backend_alive(timeout_s: float = 420.0) -> bool:
+def _backend_alive(timeout_s: float = 120.0) -> bool:
     """Probe the device backend in a subprocess with a hard timeout.
 
     The axon tunnel can be down for many hours at a stretch, and when it
@@ -571,6 +602,64 @@ def _backend_alive(timeout_s: float = 420.0) -> bool:
         return False
 
 
+def _json_safe(d):
+    # a NaN metric (invalid timing, see profiling.chained_slope) must
+    # not make the whole record unparseable: json.dumps would emit the
+    # non-standard token NaN — serialise null for that one field instead
+    import math
+    return {k: (None if isinstance(v, float) and not math.isfinite(v)
+                else v) for k, v in d.items()}
+
+
+class _Record:
+    """Cumulative bench record with incremental emission (VERDICT r3 #1).
+
+    After EVERY stage the full record-so-far — the headline fields plus
+    every extras key — is re-printed as one JSON line on stdout, so a
+    driver timeout truncates *coverage* instead of zeroing the round: the
+    last complete line always holds everything measured up to the kill.
+    Stage markers and the same cumulative record go to stderr for humans.
+    """
+
+    def __init__(self):
+        self.extras = {}
+        self.headline = {"metric": "batched_2d_bilinear_interp",
+                         "value": 0.0, "unit": "Mqueries/s",
+                         "vs_baseline": 0.0}
+
+    def emit(self):
+        rec = dict(self.headline)
+        rec.update(_json_safe(self.extras))
+        print(json.dumps(rec), flush=True)
+
+    def run_stage(self, name, fn, *, min_budget_s=0.0, judged=False):
+        """Run one fail-soft stage and re-emit the cumulative record.
+
+        Non-judged stages are skipped (and the skip recorded) when less
+        than ``min_budget_s`` of the total budget remains; judged stages
+        always run — they are ordered first in ``main`` so the budget is
+        theirs to spend.
+        """
+        left = _remaining()
+        if not judged and left < min_budget_s:
+            self.extras[f"{name}_skipped"] = (
+                f"budget: {left:.0f}s left < {min_budget_s:.0f}s needed")
+            print(f"[bench] {name} SKIPPED ({left:.0f}s budget left)",
+                  file=sys.stderr, flush=True)
+            self.emit()
+            return
+        print(f"[bench] {name} ({left:.0f}s budget left)",
+              file=sys.stderr, flush=True)
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as e:
+            self.extras[f"{name}_error"] = str(e)[:300]
+        self.extras.setdefault("stage_seconds", {})[name] = round(
+            time.monotonic() - t0, 1)
+        self.emit()
+
+
 def main():
     if not _backend_alive():
         print("[bench] device backend unreachable (tunnel down?); "
@@ -582,21 +671,16 @@ def main():
                      "timed out (axon tunnel down)"}))
         return
 
-    extras = {}
+    rec = _Record()
+    extras = rec.extras
     # The fully-f64 on-chip Newton stage needs x64 enabled before any trace;
     # every fp32 kernel (incl. Pallas, traced with 32-bit semantics pinned)
     # is x64-safe.
     jax.config.update("jax_enable_x64", True)
 
-    # The headline must survive anything: a crashed TPU worker or a failed
-    # kernel compile degrades to an error record, never an empty stdout —
-    # and the remaining (independent) benchmarks still run and report.
-    def _stage(name):
-        print(f"[bench] {name}", file=sys.stderr, flush=True)
+    # --- judged stages first (BASELINE.md configs 2, 4, 5, 3) -------------
 
-    qps = s_xla = s_pallas = None
-    try:
-        _stage("bilinear2d")
+    def st_bilinear2d():
         qps, s_pallas, s_xla = bench_bilinear2d()
         extras["bilinear2d_pallas_ms"] = round(s_pallas * 1e3, 3)
         extras["bilinear2d_xla_ms"] = round(s_xla * 1e3, 3)
@@ -606,85 +690,12 @@ def main():
         flops_per_q = 3 * 2 * 256 * 256
         extras["bilinear2d_mfu_pct"] = round(
             100.0 * qps * flops_per_q / 197e12, 1)
-    except Exception as e:
-        extras["headline_error"] = str(e)[:300]
+        if np.isfinite(qps):
+            rec.headline["value"] = round(qps / 1e6, 1)
+            if np.isfinite(s_xla):
+                rec.headline["vs_baseline"] = round(s_xla / s_pallas, 2)
 
-    try:
-        _stage("lerp1d")
-        extras["lerp1d_qps"] = round(bench_lerp1d() / 1e9, 3)
-    except Exception as e:
-        extras["lerp1d_error"] = str(e)[:200]
-
-    try:
-        _stage("lerp1d_64k")
-        q64k, err64k = bench_lerp1d_64k()
-        extras["lerp1d_64k_qps"] = round(q64k / 1e9, 3)
-        extras["lerp1d_64k_maxerr"] = err64k
-    except Exception as e:
-        extras["lerp1d_64k_error"] = str(e)[:200]
-
-    try:
-        _stage("interp1d_nonuniform")
-        qnu, errnu = bench_interp1d_nonuniform()
-        extras["interp1d_nonuniform_qps"] = round(qnu / 1e9, 3)
-        extras["interp1d_nonuniform_maxerr"] = errnu
-    except Exception as e:
-        extras["interp1d_nonuniform_error"] = str(e)[:200]
-
-    try:
-        _stage("bilinear2d_binned_1024")
-        q1k, s1k, s1k_xla, err1k = bench_bilinear2d_binned_1024()
-        extras["bilinear2d_1024_binned_qps"] = round(q1k / 1e6, 1)
-        extras["bilinear2d_1024_binned_ms"] = round(s1k * 1e3, 3)
-        extras["bilinear2d_1024_vs_xla"] = round(s1k_xla / s1k, 1)
-        extras["bilinear2d_1024_maxerr"] = err1k
-    except Exception as e:
-        extras["bilinear2d_1024_error"] = str(e)[:200]
-
-    try:
-        _stage("pallas_parity")
-        d_px, d_wf, d_p64, d_x64 = bench_pallas_parity()
-        extras["pallas_vs_xla_residual_delta"] = d_px
-        extras["windowed_vs_full_residual_delta"] = d_wf
-        extras["pallas_vs_f64_residual_delta"] = d_p64
-        extras["xla_f32_vs_f64_residual_delta"] = d_x64
-    except Exception as e:
-        extras["parity_error"] = str(e)[:200]
-
-    try:
-        _stage("shard_map_pallas")
-        extras["shard_map_pallas_residual_delta"] = bench_shard_map_pallas()
-    except Exception as e:
-        extras["shard_map_pallas_error"] = str(e)[:200]
-
-    try:
-        _stage("map_eval")
-        extras["map_eval_N1024_R1024_ms"] = round(bench_map_eval() * 1e3, 1)
-    except Exception as e:
-        extras["map_error"] = str(e)[:200]
-
-    try:
-        _stage("bilinear2d_f64")
-        q64, err64, q64p, err64p = bench_bilinear2d_f64()
-        extras["bilinear2d_f64_xla_qps"] = round(q64 / 1e6, 1)
-        extras["bilinear2d_f64_xla_maxerr"] = err64
-        extras["bilinear2d_f64_pallas_qps"] = round(q64p / 1e6, 1)
-        extras["bilinear2d_f64_pallas_maxerr"] = err64p
-    except Exception as e:
-        extras["bilinear2d_f64_error"] = str(e)[:200]
-
-    try:
-        _stage("sweep_100pt")
-        s_step, n_conv, unstable = bench_sweep_100pt()
-        extras["sweep_100pt_s_per_step"] = round(s_step, 3)
-        extras["sweep_100pt_converged"] = n_conv
-        extras["sweep_100pt_unstable_first_last"] = [unstable[0],
-                                                     unstable[-1]]
-    except Exception as e:
-        extras["sweep_error"] = str(e)[:200]
-
-    try:
-        _stage("newton_1e8")
+    def st_newton_1e8():
         (t_solve, t_cold, iters, norm, d_emu,
          frozen, t_replay_eval) = bench_newton_1e8()
         extras["newton_N4096_s"] = round(t_solve, 2)
@@ -699,40 +710,86 @@ def main():
             if t_f is not None:
                 extras[f"{tag}_N4096_s"] = round(t_f, 2)
             extras[f"{tag}_final_norm"] = norm_f
-    except Exception as e:
-        extras["newton_error"] = str(e)[:200]
 
-    try:
-        _stage("replay_exp_modes")
+    def st_sweep_100pt():
+        s_step, n_conv, unstable = bench_sweep_100pt()
+        extras["sweep_100pt_s_per_step"] = round(s_step, 3)
+        extras["sweep_100pt_converged"] = n_conv
+        extras["sweep_100pt_unstable_first_last"] = [unstable[0],
+                                                     unstable[-1]]
+
+    def st_map_eval():
+        extras["map_eval_N1024_R1024_ms"] = round(bench_map_eval() * 1e3, 1)
+
+    # --- optional stages (budget-gated) -----------------------------------
+
+    def st_lerp1d():
+        extras["lerp1d_qps"] = round(bench_lerp1d() / 1e9, 3)
+
+    def st_lerp1d_64k():
+        q64k, err64k = bench_lerp1d_64k()
+        extras["lerp1d_64k_qps"] = round(q64k / 1e9, 3)
+        extras["lerp1d_64k_maxerr"] = err64k
+
+    def st_interp1d_nonuniform():
+        qnu, errnu = bench_interp1d_nonuniform()
+        extras["interp1d_nonuniform_qps"] = round(qnu / 1e9, 3)
+        extras["interp1d_nonuniform_maxerr"] = errnu
+
+    def st_bilinear2d_binned_1024():
+        q1k, s1k, s1k_xla, err1k = bench_bilinear2d_binned_1024()
+        extras["bilinear2d_1024_binned_qps"] = round(q1k / 1e6, 1)
+        extras["bilinear2d_1024_binned_ms"] = round(s1k * 1e3, 3)
+        extras["bilinear2d_1024_vs_xla"] = round(s1k_xla / s1k, 1)
+        extras["bilinear2d_1024_maxerr"] = err1k
+
+    def st_pallas_parity():
+        d_px, d_wf, d_p64, d_x64 = bench_pallas_parity()
+        extras["pallas_vs_xla_residual_delta"] = d_px
+        extras["windowed_vs_full_residual_delta"] = d_wf
+        extras["pallas_vs_f64_residual_delta"] = d_p64
+        extras["xla_f32_vs_f64_residual_delta"] = d_x64
+
+    def st_shard_map_pallas():
+        extras["shard_map_pallas_residual_delta"] = bench_shard_map_pallas()
+
+    def st_bilinear2d_f64():
+        q64, err64, q64p, err64p = bench_bilinear2d_f64()
+        extras["bilinear2d_f64_xla_qps"] = round(q64 / 1e6, 1)
+        extras["bilinear2d_f64_xla_maxerr"] = err64
+        extras["bilinear2d_f64_pallas_qps"] = round(q64p / 1e6, 1)
+        extras["bilinear2d_f64_pallas_maxerr"] = err64p
+
+    def st_replay_exp_modes():
         for mode, (t_ms, delta) in bench_replay_exp_modes().items():
             tag = mode.replace("-", "_")
             extras[f"replay_exp_{tag}_ms"] = t_ms
             if delta is not None:
                 extras[f"replay_exp_{tag}_delta"] = delta
-    except Exception as e:
-        extras["replay_exp_error"] = str(e)[:200]
 
-    def _json_safe(d):
-        # a NaN metric (invalid timing, see profiling.chained_slope) must
-        # not make the whole record unparseable: json.dumps would emit the
-        # non-standard token NaN — serialise null for that one field instead
-        import math
-        return {k: (None if isinstance(v, float) and not math.isfinite(v)
-                    else v) for k, v in d.items()}
+    # Judged stages: always run, most important first — the headline
+    # (config 2), then the judged Newton (config 4), then the sweep
+    # (config 5) and the map eval (config 3).
+    rec.run_stage("bilinear2d", st_bilinear2d, judged=True)
+    rec.run_stage("newton_1e8", st_newton_1e8, judged=True)
+    rec.run_stage("sweep_100pt", st_sweep_100pt, judged=True)
+    rec.run_stage("map_eval", st_map_eval, judged=True)
+    # Optional stages, cheapest-per-information first.  min_budget_s is a
+    # rough worst-case (cold server compile cache) stage cost; a warm run
+    # clears all of them with budget to spare.
+    rec.run_stage("shard_map_pallas", st_shard_map_pallas, min_budget_s=60)
+    rec.run_stage("lerp1d", st_lerp1d, min_budget_s=60)
+    rec.run_stage("lerp1d_64k", st_lerp1d_64k, min_budget_s=90)
+    rec.run_stage("interp1d_nonuniform", st_interp1d_nonuniform,
+                  min_budget_s=90)
+    rec.run_stage("bilinear2d_binned_1024", st_bilinear2d_binned_1024,
+                  min_budget_s=120)
+    rec.run_stage("bilinear2d_f64", st_bilinear2d_f64, min_budget_s=120)
+    rec.run_stage("pallas_parity", st_pallas_parity, min_budget_s=300)
+    rec.run_stage("replay_exp_modes", st_replay_exp_modes, min_budget_s=300)
 
-    print(json.dumps(_json_safe(extras)), file=sys.stderr)
-    # the headline value only needs the Pallas measurement; a NaN XLA
-    # baseline slope (its fit uses the weakest settings in the file and
-    # can lose to tunnel jitter) degrades vs_baseline alone, not the
-    # round's headline number
-    ok = qps is not None and np.isfinite(qps)
-    ok_base = ok and s_xla is not None and np.isfinite(s_xla)
-    print(json.dumps(_json_safe({
-        "metric": "batched_2d_bilinear_interp",
-        "value": round(qps / 1e6, 1) if ok else 0.0,
-        "unit": "Mqueries/s",
-        "vs_baseline": round(s_xla / s_pallas, 2) if ok_base else 0.0,
-    })))
+    extras["bench_total_s"] = round(time.monotonic() - _T0, 1)
+    rec.emit()
 
 
 if __name__ == "__main__":
