@@ -120,6 +120,25 @@ class ModelConfig:
     #             +24% on the vmapped FD path, see "cond" above — use
     #             "cond" for vmapped callers).
     replay_exp_mode: str = "hoisted"
+    # Warm-started event-time Newton in the Pallas evolve kernel
+    # (ROADMAP/VERDICT r3 #6): seed each event's per-lane root-find from
+    # the previous event's root shifted by the elapsed dt, minus
+    # ``evolve_warm_margin``.  Safety is structural, not heuristic: the
+    # inter-event membrane trajectory is unimodal (v'' = -v' - beta*s < 0
+    # at any critical point), so a start with f < 0 AND f' > 0 is
+    # certified left of the FIRST threshold crossing and Newton cannot
+    # skip to the down-crossing root; lanes failing the guard fall back
+    # to the cold t=0 start (the probe is their only extra cost).
+    # OFF by default: the warm probe costs one extra transcendental pair
+    # per lane per event, and warm/cold lanes take different iterate
+    # paths, so the windowed-vs-full bitwise-equality certification only
+    # holds within one warm-start setting (see evolve_pallas.py notes).
+    evolve_warm_start: bool = False
+    # Left-shift applied to the warm seed: must exceed the typical
+    # kick-induced root drift per event (kicked lanes' roots move
+    # EARLIER, putting the unshifted seed on the wrong side of the
+    # guard), but every extra unit of margin is extra Newton distance.
+    evolve_warm_margin: float = 0.05
     dtype: str = "float32"
 
     def __post_init__(self):

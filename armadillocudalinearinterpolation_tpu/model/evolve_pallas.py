@@ -91,6 +91,11 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         out_ref, sched_ref = refs[4], None
         scratch = refs[5:]
     per_row = cfg.evolve_window_per_row
+    warm = cfg.evolve_warm_start
+    if warm:
+        scratch, tw_s = scratch[:-1], scratch[-1]
+    else:
+        tw_s = None
     if 0 < cfg.evolve_window < cfg.n_neurons:
         if per_row:
             v_s, s_s, t_s, b_s, off_s = scratch
@@ -152,6 +157,9 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         v_s[:] = jnp.broadcast_to(v0_ref[:], (R, N))
         s_s[:] = jnp.broadcast_to(s0_ref[:], (R, N))
     t_s[:] = jnp.zeros((R, N), jnp.float32)
+    if warm:
+        tw_s[:] = jnp.zeros((R, N), jnp.float32)
+        MARGIN = jnp.float32(cfg.evolve_warm_margin)
 
     def b2f(pred):
         """bool -> f32 via select: Mosaic's bool convert helper recurses
@@ -175,7 +183,7 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
               + sc * (ebt - 1.0) / (bb - 1.0))
         return f, df
 
-    def event_time(vv, ss, bb):
+    def event_time(vv, ss, bb, tw=None):
         # fire/no-fire decision (EventDrivenMap.cu:559); NaN compares false.
         base = ss / (vth - drive)
         q = jnp.power(base, 1.0 / bb)
@@ -186,6 +194,22 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         # at t = 0 both exponentials are 1: closed forms, no transcendentals
         f0 = (vv - vth) * b2f(decision)
         df0 = drive - vv + ss
+        if tw is not None:
+            # Warm start (cfg.evolve_warm_start): probe the previous root
+            # shifted left by the margin.  The guard f < 0 AND f' > 0 is a
+            # certificate that the probe sits left of the FIRST crossing:
+            # the inter-event trajectory is unimodal (v'' = -v' - beta*s,
+            # so every critical point is a maximum) — past the first root
+            # either f >= 0 (still above threshold) or v is descending.
+            # Failing lanes fall back to the cold start above; the probe's
+            # transcendental pair is their only cost.
+            t_seed = jnp.maximum(tw - MARGIN, 0.0)
+            f_w, df_w = _f_df(t_seed, vv, ss, bb)
+            use_w = jnp.logical_and(jnp.logical_and(f_w < 0.0, df_w > 0.0),
+                                    decision)
+            t0 = jnp.where(use_w, t_seed, t0)
+            f0 = jnp.where(use_w, f_w, f0)
+            df0 = jnp.where(use_w, df_w, df0)
 
         def cond(c):
             tt, ff, dff, k = c
@@ -210,7 +234,8 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
 
         tt, _, _, _ = jax.lax.while_loop(cond, body, (t0, f0, df0,
                                                       jnp.int32(0)))
-        return jnp.abs(tt) + 100.0 * (1.0 - b2f(decision))
+        tabs = jnp.abs(tt)
+        return tabs + 100.0 * (1.0 - b2f(decision)), tabs
 
     def live_rows():
         book = out_ref[:]
@@ -223,19 +248,23 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
     def loop_cond(carry):
         return carry[0] > 0.5
 
-    def select_event_full(v, s, beta):
+    def select_event_full(v, s, beta, tw=None):
         """Exact next-event over all N lanes: (dt, j) as (R, 1) columns.
 
         ``j`` is a lane index into the arrays as given (rolled coordinates
-        when the windowed path calls this as its fallback)."""
-        times = event_time(v, s, beta)                      # (R, N)
+        when the windowed path calls this as its fallback).  Under warm
+        start a third element carries the per-lane roots for next-event
+        seeding."""
+        times, tabs = event_time(v, s, beta, tw)            # (R, N)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
         dtc = jnp.min(times, axis=1, keepdims=True)
         jc = jnp.min(jnp.where(times == dtc, lane_i, N), axis=1,
                      keepdims=True)                         # lowest-index min
+        if warm:
+            return dtc, jc, tabs
         return dtc, jc
 
-    def select_event_windowed(v, s, beta):
+    def select_event_windowed(v, s, beta, tw=None):
         """Windowed next-event with an exact certificate.
 
         The wave packet occupies a narrow index band (the spike trajectories
@@ -262,7 +291,8 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         via ``lax.cond`` — so results match the full kernel up to
         window-boundary ties.
         """
-        times_w = event_time(v[:, :W], s[:, :W], beta[:, :W])
+        times_w, tabs_w = event_time(v[:, :W], s[:, :W], beta[:, :W],
+                                     tw[:, :W] if warm else None)
         dt_w = jnp.min(times_w, axis=1, keepdims=True)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
         j_w = jnp.min(jnp.where(times_w == dt_w, lane_w, W), axis=1,
@@ -282,6 +312,15 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         lb = jnp.where(beta[:, W:] > 0.0, lb, 0.0)
         lb_row = jnp.min(lb, axis=1, keepdims=True)
         viol = jnp.max(b2f(jnp.logical_and(live_rows(), dt_w > lb_row)))
+        if warm:
+            # out-of-window lanes keep their standing seed (the caller
+            # subtracts the elapsed dt uniformly afterwards)
+            return jax.lax.cond(
+                viol < 0.5,
+                lambda _: (dt_w, j_w,
+                           jnp.concatenate([tabs_w, tw[:, W:]], axis=1)),
+                lambda _: select_event_full(v, s, beta, tw),
+                0)
         return jax.lax.cond(viol < 0.5,
                             lambda _: (dt_w, j_w),
                             lambda _: select_event_full(v, s, beta),
@@ -310,15 +349,21 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
                 delta = jax.lax.shift_right_logical(p_r, 7)  # chunks (R,1)
                 vv, ss, bb = v_s[:], s_s[:], b_s[:]
                 v_acc, s_acc, b_acc = vv, ss, bb
+                tww = tw_s[:] if warm else None
+                tw_acc = tww
                 for s_ch in range(1, N // _LANE):
                     sh = N - s_ch * _LANE
                     m = delta == s_ch
                     v_acc = jnp.where(m, pltpu.roll(vv, sh, 1), v_acc)
                     s_acc = jnp.where(m, pltpu.roll(ss, sh, 1), s_acc)
                     b_acc = jnp.where(m, pltpu.roll(bb, sh, 1), b_acc)
+                    if warm:
+                        tw_acc = jnp.where(m, pltpu.roll(tww, sh, 1), tw_acc)
                 v_s[:] = v_acc
                 s_s[:] = s_acc
                 b_s[:] = b_acc
+                if warm:
+                    tw_s[:] = tw_acc
                 off_s[:] = jnp.broadcast_to(
                     jnp.mod(off_col + delta * _LANE, N), (R, _LANE))
         elif use_window:
@@ -340,6 +385,8 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
                 v_s[:] = pltpu.roll(v_s[:], sh, 1)
                 s_s[:] = pltpu.roll(s_s[:], sh, 1)
                 b_s[:] = pltpu.roll(b_s[:], sh, 1)
+                if warm:
+                    tw_s[:] = pltpu.roll(tw_s[:], sh, 1)
 
             off = jnp.where(need, jnp.mod(off + p, N), off)
 
@@ -347,12 +394,17 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         s = s_s[:]
         t = t_s[:]
         beta = b_s[:] if use_window else beta_ref[:]
+        tw = tw_s[:] if warm else None
         live = jnp.broadcast_to(live_rows(), (R, N))
 
         if use_window:
-            dt_col, j_col = select_event_windowed(v, s, beta)
+            sel = select_event_windowed(v, s, beta, tw)
         else:
-            dt_col, j_col = select_event_full(v, s, beta)
+            sel = select_event_full(v, s, beta, tw)
+        if warm:
+            dt_col, j_col, tabs = sel
+        else:
+            dt_col, j_col = sel
         dt = jnp.broadcast_to(dt_col, (R, N))               # row-const
         j = jnp.broadcast_to(j_col, (R, N))
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
@@ -385,6 +437,13 @@ def _evolve_kernel(cfg: ModelConfig, r_block: int, record: int, *refs):
         v_s[:] = jnp.where(live, v_new, v)
         s_s[:] = jnp.where(live, s_new, s)
         t_s[:] = jnp.where(live, t_new, t)
+        if warm:
+            # next-event seed: this event's per-lane roots shifted by the
+            # elapsed dt.  The firing lane resets to 0 (its state reset
+            # makes the old root meaningless; a 0 seed IS the cold start).
+            tw_next = jnp.maximum(tabs - dt, 0.0)
+            tw_next = jnp.where(lane_i == j, 0.0, tw_next)
+            tw_s[:] = jnp.where(live, tw_next, tw)
 
         # ---- bookkeeping on the packed row (classification, :622-644)
         # last/crossed indices are recorded in ORIGINAL lane coordinates
@@ -554,6 +613,8 @@ def _call_kernel(cfg, r_block, n_blocks, Rp, record, v0, s0, beta32, book0):
                             else 3)]
             + ([pltpu.VMEM((r_block, _LANE), jnp.int32)]   # per-row anchors
                if cfg.evolve_window_per_row else [])
+            + ([pltpu.VMEM((r_block, cfg.n_neurons), jnp.float32)]  # warm
+               if cfg.evolve_warm_start else [])
         ),
         interpret=_INTERPRET,
     )(v0, s0, beta32, book0)

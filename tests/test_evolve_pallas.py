@@ -130,3 +130,24 @@ def test_per_row_window_config_validation():
     with pytest.raises(ValueError, match="per_row"):
         ModelConfig(n_neurons=512, n_real=2, evolve_window=128,
                     evolve_window_per_row=True)
+
+
+def test_warm_start_interpret_matches_cold(interpreted, z_ref):
+    """Warm-started event-time Newton (cfg.evolve_warm_start): the guarded
+    seed may change the converged root only within root_tol, so the map
+    value agrees with the cold kernel to f32 root-tol scale; and the
+    windowed-vs-full bitwise equality must hold WITHIN the warm setting
+    (the certification contract is per-setting, see config.py)."""
+    params = MapParams.create(13.0589, 0.1, dtype="float32")
+    key = jax.random.PRNGKey(0)
+    z = z_ref.astype(jnp.float32)
+    cfg_c = ModelConfig(n_neurons=256, n_real=4, dtype="float32")
+    cfg_w = cfg_c.with_(evolve_warm_start=True)
+    cfg_ww = cfg_w.with_(evolve_window=128)
+    f_cold = event_driven_map(cfg_c, params, key, z, evolve_backend="pallas")
+    f_warm = event_driven_map(cfg_w, params, key, z, evolve_backend="pallas")
+    f_warm_win = event_driven_map(cfg_ww, params, key, z,
+                                  evolve_backend="pallas")
+    np.testing.assert_allclose(np.asarray(f_warm), np.asarray(f_cold),
+                               atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(f_warm), np.asarray(f_warm_win))
