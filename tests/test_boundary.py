@@ -7,6 +7,7 @@ the test stays fast.
 """
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from armadillocudalinearinterpolation_tpu import (
@@ -42,6 +43,7 @@ def test_bracket_probe_lands_on_the_failure_side(cfg, key):
         assert bf == bs + sgn * 0.05
 
 
+@pytest.mark.slow
 def test_tracks_sigma0_grazing_boundary(cfg, key):
     ncfg = NewtonConfig(tolerance=1e-9, max_iterations=12, fd_mode="exact")
     seen = []

@@ -46,6 +46,7 @@ def test_cli_continuation_with_stability_and_checkpoint(tmp_path, capsys):
     assert steps[0].n_unstable is not None
 
 
+@pytest.mark.slow
 def test_cli_staged_sweep(capsys):
     # two --staged continuation steps share one jit cache; both must land
     # at the deep tolerance on their own step's map (params/key are traced
@@ -70,6 +71,7 @@ def test_cli_shard_sweep(capsys):
     assert "converged=True" in out
 
 
+@pytest.mark.slow
 def test_cli_frozen_sweep_with_stability(capsys):
     """--fd-mode frozen routes the plain sweep through newton_solve_frozen
     (fused residual + frozen-schedule FD), and --stability consumes its

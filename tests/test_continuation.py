@@ -115,6 +115,7 @@ def test_arclength_jit_cache_reuse_and_identity_guard(cfg, key):
                         jit_cache=cache)      # different held value
 
 
+@pytest.mark.slow
 def test_arclength_frozen_corrector_matches_exact(cfg, key):
     """fd_mode="frozen" routes the walk through the fused frozen-outcome FD
     corrector (one schedule pass + one batched 9-point replay per corrector

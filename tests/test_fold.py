@@ -6,6 +6,7 @@ N = 512, ``artifacts/README.md``), on the CPU fp64 oracle path.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,6 +15,7 @@ from armadillocudalinearinterpolation_tpu import (
 from armadillocudalinearinterpolation_tpu.analysis.fold import null_direction
 
 
+@pytest.mark.slow
 def test_fold_matches_arclength_reference(cfg, key):
     # near-fold point from the guarded arclength walk (artifacts)
     Z0 = jnp.asarray([0.59145, 0.57176, 10.07225], jnp.float64)

@@ -141,6 +141,7 @@ def test_replay_invariant_to_schedule_padding(cfg, pieces):
         assert bool(jnp.all(a == b))
 
 
+@pytest.mark.slow
 def test_replay_exp_modes(cfg, pieces):
     """cfg.replay_exp_mode: the three small-exp strategies must agree.
 
@@ -247,6 +248,7 @@ def test_separable_kick_tables_nonpositive_amplitudes(cfg):
             (a1, a2)
 
 
+@pytest.mark.slow
 def test_jacfwd_through_replay_matches_fd(cfg):
     """VERDICT r2 #2 done-criterion: jacfwd-vs-FD agreement.
 
@@ -277,6 +279,7 @@ def test_jacfwd_through_replay_matches_fd(cfg):
     assert float(jnp.max(jnp.abs(J_h - J_exact))) < 1e-10
 
 
+@pytest.mark.slow
 def test_newton_converges_on_replay_backend(cfg):
     """Exact-mode Newton on the replay backend: the differentiable fast
     path must drive the residual to 1e-9 (reference contract:

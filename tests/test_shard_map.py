@@ -69,6 +69,7 @@ def test_shard_map_rejects_indivisible_ensemble(key, mesh8):
         make_shard_map_residual_fn(cfg, params, key, mesh8)
 
 
+@pytest.mark.slow
 def test_frozen_stencil_sharded_matches_unsharded(key, z_ref, mesh8):
     """The fused frozen-FD stencil replay with its flat stencil*R row axis
     sharded over the mesh (GSPMD constraint, zero in-loop collectives) must
@@ -104,6 +105,7 @@ def test_frozen_stencil_sharded_matches_unsharded(key, z_ref, mesh8):
                                np.asarray(res_u.solution), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_staged_solve_sharded_matches_unsharded(key, z_ref, mesh8):
     """newton_solve_staged(mesh=...): the WHOLE hybrid-precision recipe
     with the ensemble GSPMD-sharded (fp32 stage, fused frozen stencil,
@@ -133,6 +135,7 @@ def test_staged_solve_sharded_matches_unsharded(key, z_ref, mesh8):
                             stage2_ncfg=ncfg2, jit_cache=cache)
 
 
+@pytest.mark.slow
 def test_arclength_frozen_corrector_sharded(key, mesh8):
     """The fused frozen-outcome arclength corrector with its stencil rows
     mesh-sharded must accept the same point as the unsharded corrector

@@ -8,6 +8,7 @@ bench drives on the chip, at a small grid.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from armadillocudalinearinterpolation_tpu import (
     ModelConfig, MapParams, NewtonConfig, make_residual_fn, newton_solve,
@@ -16,6 +17,7 @@ from armadillocudalinearinterpolation_tpu import (
 Z0 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float64)
 
 
+@pytest.mark.slow
 def test_frozen_batched_matches_single(key):
     """frozen_schedule_map_batched (the flat-tiled replay the fused FD
     Jacobians evaluate through) must reproduce per-point
@@ -51,6 +53,7 @@ def test_frozen_batched_matches_single(key):
                                    rtol=0, atol=atol)
 
 
+@pytest.mark.slow
 def test_frozen_fd_matches_jacfwd_and_solves(key):
     """The frozen-schedule fused FD Jacobian is jacfwd-grade.
 
@@ -122,6 +125,7 @@ def test_frozen_fd_matches_jacfwd_and_solves(key):
     assert rel0 < 1e-5, rel0
 
 
+@pytest.mark.slow
 def test_frozen_fwd_stencil(key):
     """fd_mode='frozen-fwd': the one-sided (n+1)-point stencil variant.
 
@@ -173,6 +177,7 @@ def test_frozen_fwd_stencil(key):
     assert float(jnp.linalg.norm(F(res.solution))) < 1.5e-8
 
 
+@pytest.mark.slow
 def test_staged_solve_reaches_target(key):
     # sigma=0: the deterministic map — at R=8 the heterogeneous map's FD
     # landscape is too rough for the fp32 stage to hand off cleanly (the
@@ -223,6 +228,7 @@ def test_staged_solve_reaches_target(key):
     assert abs(float(res3.solution[0]) - float(res.solution[0])) > 1e-4
 
 
+@pytest.mark.slow
 def test_staged_fast_family_not_hijacked(key):
     """A solve warm-started ON the coexisting fast wave family must stay
     there.  The fast family (artifacts/enumerated_branches/branch_2..4;
@@ -253,6 +259,7 @@ def test_staged_fast_family_not_hijacked(key):
         and np.all(sol[0] * sol[1:] < 2 * cfg.half_width), sol
 
 
+@pytest.mark.slow
 def test_staged_guards_and_jacobian(key):
     """Round-3 code-review fixes: cache identity is enforced, a 0-iteration
     accurate stage still returns a REAL Jacobian (not the identity
@@ -315,6 +322,7 @@ def test_frozen_cache_identity_guard(key):
         assert cache2["_frozen_identity"] == ("frozen", cfg_a, None, "real")
 
 
+@pytest.mark.slow
 def test_staged_stage1_shares_the_draw(key):
     """The fp32 stage must solve the SAME stochastic realisation as the
     accurate stages: jax.random.normal(key, dtype=f32) is a different bit
