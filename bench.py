@@ -587,15 +587,20 @@ def _backend_alive(timeout_s: float = 120.0) -> bool:
 
     The axon tunnel can be down for many hours at a stretch, and when it
     is, ``jax.devices()`` HANGS (no error) — observed 2026-08-17/18, 24+ h.
-    A dead tunnel must degrade this run to a fast, parseable error record,
-    never an unbounded hang that leaves no bench output at all.  The probe
-    subprocess resolves the platform exactly the way this process would.
+    It can ALSO be half-up: ``jax.devices()`` answers but the first real
+    dispatch hangs forever (observed 2026-08-20 — a bench run wedged 30+
+    min inside its first stage after a clean probe).  So the probe runs an
+    actual tiny computation with a host readback, the only true liveness
+    signal on this machine.  A dead tunnel must degrade this run to a
+    fast, parseable error record, never an unbounded hang that leaves no
+    bench output at all.
     """
     import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.arange(8.0).sum()))"],
             timeout=timeout_s, capture_output=True, text=True)
         return r.returncode == 0
     except Exception:
@@ -769,7 +774,11 @@ def main():
 
     # Judged stages: always run, most important first — the headline
     # (config 2), then the judged Newton (config 4), then the sweep
-    # (config 5) and the map eval (config 3).
+    # (config 5) and the map eval (config 3).  One emission up front: a
+    # tunnel that wedges inside stage 1 (jax.devices() can answer while
+    # the first dispatch hangs — seen 2026-08-20) still leaves a
+    # parseable record.
+    rec.emit()
     rec.run_stage("bilinear2d", st_bilinear2d, judged=True)
     rec.run_stage("newton_1e8", st_newton_1e8, judged=True)
     rec.run_stage("sweep_100pt", st_sweep_100pt, judged=True)
