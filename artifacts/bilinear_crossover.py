@@ -12,6 +12,11 @@ Appends JSON lines to artifacts/bilinear_crossover.jsonl.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

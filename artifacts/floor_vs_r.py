@@ -18,6 +18,11 @@ Appends one JSON line per R to artifacts/floor_vs_r.jsonl.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

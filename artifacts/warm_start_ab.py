@@ -13,6 +13,11 @@ Appends JSON lines to artifacts/warm_start_ab.jsonl.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 
