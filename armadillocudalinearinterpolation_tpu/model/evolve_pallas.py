@@ -70,15 +70,22 @@ _BLOCK_ELEMENT_BUDGET = 128 * 1024
 _INTERPRET = False
 
 
-def _r_block(n_neurons: int) -> int:
+def _r_block(n_neurons: int, warm: bool = False) -> int:
     """Realisations per grid step, sized to the element budget.
 
     Measured on v5e at N=512, R=1024 (device time, RTT subtracted):
     8 -> 120ms, 32 -> 49ms, 128 -> 43ms, 256 -> 40ms — bigger blocks
     amortise per-event loop overhead; lockstep waste within a block is
     small because realisations have similar event counts.
+
+    Warm start adds the (r_block, N) seed scratch plus the probe's live
+    temporaries: at the full budget the kernel exceeded the 16M scoped
+    VMEM stack by 1.23M (v5e, N=1024, r_block=128 — measured 2026-08-20),
+    so the block shrinks by 1/4 under ``cfg.evolve_warm_start``.
     """
-    rb = _BLOCK_ELEMENT_BUDGET // n_neurons
+    budget = _BLOCK_ELEMENT_BUDGET * 3 // 4 if warm \
+        else _BLOCK_ELEMENT_BUDGET
+    rb = budget // n_neurons
     return int(max(8, min(128, (rb // 8) * 8)))
 
 
@@ -540,7 +547,7 @@ def evolve_ensemble_pallas(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
     if 5 * M + 2 > _LANE:
         raise ValueError("n_spikes too large for packed output vreg")
     R = cfg.n_real
-    r_block = _r_block(cfg.n_neurons)
+    r_block = _r_block(cfg.n_neurons, cfg.evolve_warm_start)
     n_blocks = (R + r_block - 1) // r_block
     Rp = n_blocks * r_block
     beta32 = beta.astype(jnp.float32)
