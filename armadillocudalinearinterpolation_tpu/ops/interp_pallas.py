@@ -921,10 +921,18 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     B, Q, _ = pts.shape
     _, H, W = grids.shape
     if method == "auto":
-        # full's MAC count passes binned's fixed 3*128*128/query at ~180^2,
-        # but its ~65% MFU beats binned's sort overhead until the grid no
-        # longer fits comfortably in VMEM alongside the query blocks
-        method = "binned" if (H + 127) // 128 * ((W + 127) // 128) > 16 \
+        # Crossover measured on v5e 2026-08-20 (artifacts/
+        # bilinear_crossover.py, 1M queries, grid bytes held comparable):
+        #   256^2 (4 tiles):  full 377 Mq/s  binned 230 Mq/s  -> full
+        #   384^2 (9 tiles):  full FAILS to compile (Mosaic/VMEM at the
+        #                     adaptive sub-tiling), binned 196 Mq/s
+        #   512^2 (16 tiles): full FAILS, binned 225 Mq/s
+        #   768^2 (36 tiles): binned 178 Mq/s
+        # full's MAC count passes binned's fixed 3*128*128/query at ~180^2
+        # and its compile envelope ends right past 256^2, so the switch is
+        # at >4 grid tiles (the earlier >16 threshold routed 384-512^2 to
+        # a kernel that cannot compile there).
+        method = "binned" if (H + 127) // 128 * ((W + 127) // 128) > 4 \
             else "full"
     if method == "binned":
         return _bilinear_binned(pts, grids, precision == "bf16x2"
