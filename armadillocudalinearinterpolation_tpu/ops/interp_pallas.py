@@ -899,6 +899,30 @@ def _bilinear_kernel2(h: int, w: int, hp: int, wp: int, x2: bool, sub: int,
     out_ref[0, 0] = jnp.concatenate(cols, axis=1)
 
 
+def _auto_bilinear_method(h: int, w: int) -> str:
+    """Full-vs-binned routing for ``method='auto'``.
+
+    Crossover measured on v5e 2026-08-20 (artifacts/bilinear_crossover.py,
+    1M queries, grid bytes held comparable):
+
+    ======== ========= ============== ==============
+    grid     128-tiles full           binned
+    ======== ========= ============== ==============
+    256^2    4         377 Mq/s       230 Mq/s
+    384^2    9         FAILS compile  196 Mq/s
+    512^2    16        FAILS compile  225 Mq/s
+    768^2    36        —              178 Mq/s
+    ======== ========= ============== ==============
+
+    full's MAC count passes binned's fixed 3*128*128/query at ~180^2 and
+    its compile envelope (Mosaic/VMEM at the adaptive sub-tiling) ends
+    right past 256^2, so the switch is at >4 grid tiles — the earlier
+    >16 threshold routed 384-512^2 grids to a kernel that cannot compile
+    there.
+    """
+    return "binned" if (h + 127) // 128 * ((w + 127) // 128) > 4 else "full"
+
+
 @functools.partial(jax.jit, static_argnames=("precision", "method"))
 def bilinear_batched(pts: jax.Array, grids: jax.Array,
                      precision: Literal["bf16x2", "bf16"] = "bf16x2",
@@ -921,19 +945,7 @@ def bilinear_batched(pts: jax.Array, grids: jax.Array,
     B, Q, _ = pts.shape
     _, H, W = grids.shape
     if method == "auto":
-        # Crossover measured on v5e 2026-08-20 (artifacts/
-        # bilinear_crossover.py, 1M queries, grid bytes held comparable):
-        #   256^2 (4 tiles):  full 377 Mq/s  binned 230 Mq/s  -> full
-        #   384^2 (9 tiles):  full FAILS to compile (Mosaic/VMEM at the
-        #                     adaptive sub-tiling), binned 196 Mq/s
-        #   512^2 (16 tiles): full FAILS, binned 225 Mq/s
-        #   768^2 (36 tiles): binned 178 Mq/s
-        # full's MAC count passes binned's fixed 3*128*128/query at ~180^2
-        # and its compile envelope ends right past 256^2, so the switch is
-        # at >4 grid tiles (the earlier >16 threshold routed 384-512^2 to
-        # a kernel that cannot compile there).
-        method = "binned" if (H + 127) // 128 * ((W + 127) // 128) > 4 \
-            else "full"
+        method = _auto_bilinear_method(H, W)
     if method == "binned":
         return _bilinear_binned(pts, grids, precision == "bf16x2"
                                 ).astype(grids.dtype)

@@ -286,3 +286,18 @@ def test_interp1d_nonuniform_sorted_path():
     want = interp.interp1d(xq, xp, fp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
     assert got.shape == xq.shape
+
+
+def test_auto_bilinear_routing_avoids_full_compile_envelope():
+    """method='auto' must never route grids past the full kernel's
+    measured compile envelope (fails at 384^2+, v5e 2026-08-20 —
+    artifacts/bilinear_crossover.jsonl) to the full kernel."""
+    from armadillocudalinearinterpolation_tpu.ops.interp_pallas import (
+        _auto_bilinear_method)
+
+    assert _auto_bilinear_method(256, 256) == "full"
+    assert _auto_bilinear_method(128, 512) == "full"      # 4 tiles
+    assert _auto_bilinear_method(384, 384) == "binned"
+    assert _auto_bilinear_method(512, 512) == "binned"
+    assert _auto_bilinear_method(256, 384) == "binned"    # 6 tiles
+    assert _auto_bilinear_method(1024, 1024) == "binned"
