@@ -89,10 +89,12 @@ def bench_bilinear2d():
 
     # wide K spread: at ~2-3 ms/iter the device signal must dominate the
     # tunnel's ~0.5-1 ms min-to-min RTT jitter, or the fitted slope can
-    # overshoot physical peak (a >100% MFU reading is a measurement bug)
+    # overshoot physical peak (a >100% MFU reading is a measurement bug —
+    # k_hi=17 still read 102.6% MFU in one 2026-08-20 tunnel state, so
+    # the spread doubled to 32 device-ms of signal)
     s_pallas = _slope(chained(
         lambda p: interp_pallas.bilinear_batched(p, grids)),
-        k_lo=1, k_hi=17, reps=5, stat=np.min)
+        k_lo=1, k_hi=33, reps=7, stat=np.min)
     s_xla = _slope(chained(
         lambda p: interp.bilinear_batched(p, grids)), k_lo=1, k_hi=2, reps=2,
         stat=np.min)
