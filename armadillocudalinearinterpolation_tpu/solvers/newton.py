@@ -148,6 +148,7 @@ def newton_solve(
     *,
     jacobian_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     criterion: Optional[Criterion] = None,
+    jacobian0: Optional[jax.Array] = None,
 ) -> NewtonResult:
     """Solve ``F(x) = 0`` by damped Newton iteration (``NewtonSolver.cpp:40-161``).
 
@@ -160,6 +161,24 @@ def newton_solve(
         differences otherwise.
       criterion: convergence test on the residual norm; defaults to the
         absolute norm test at ``cfg.tolerance``.
+      jacobian0: optional warm-start Jacobian (quasi-Newton with
+        refresh-on-failure — beyond the reference).  Each iteration first
+        takes a step with the carried Jacobian at ONE map evaluation; the
+        fresh Jacobian (FD batch / jacfwd / ``jacobian_fn``) is computed
+        only when that step fails sufficient decrease (``|F| <= 0.9 |F|``),
+        and the refreshed step replaces it.  Convergence is always tested
+        on the true residual, so results are exactly as trustworthy as the
+        plain iteration — only the launch count changes.  ``None``
+        (default) preserves the exact reference iteration.
+        Measured caveat (on-chip A/B, v5e 2026-08-20): on the reference
+        continuation sweep (N=512, R=1024, sigma=0.1, tol 1e-4, 10-iter
+        budget) this LOSES — accepted-but-slow quasi steps (norm ratio
+        just under 0.9) exhaust the iteration budget, dropping converged
+        steps from 61/100 to 28/100 for a 4% time win, so the sweep
+        keeps the plain iteration.  Use it where iterations are cheap
+        relative to Jacobians and budgets are loose (deep-tolerance
+        smooth solves: CPU f64 probe converged to 1e-10 in 9
+        one-eval iterations vs 4 four-eval ones).
 
     The solve is traceable: wrap in ``jax.jit`` for one fused device program.
     """
@@ -194,7 +213,8 @@ def newton_solve(
 
     init = Carry(x=x0, f=f0, norm=norm0, it=jnp.int32(0),
                  converged=test(norm0), history=history0,
-                 jacobian=jnp.eye(n, dtype=dt_))
+                 jacobian=(jacobian0.astype(dt_) if jacobian0 is not None
+                           else jnp.eye(n, dtype=dt_)))
 
     def cond(c: Carry):
         keep = jnp.logical_and(c.it < cfg.max_iterations, ~c.converged)
@@ -206,26 +226,51 @@ def newton_solve(
                 keep, c.norm <= cfg.divergence_factor * norm0)
         return keep
 
-    def body(c: Carry) -> Carry:
+    def fresh_jacobian(x, f):
         if jacobian_fn is not None:
-            jac = jacobian_fn(c.x)
-        elif cfg.fd_mode == "exact":
+            return jacobian_fn(x)
+        if cfg.fd_mode == "exact":
             # Exact forward-mode Jacobian: jacfwd flows n tangents through
             # the whole map in ONE evaluation (the event-time root carries
             # an implicit-function-theorem custom JVP, events.py).  No FD
             # epsilon, no differencing noise; requires the XLA evolve
             # backend (the Pallas kernel defines no JVP).
-            jac = jax.jacfwd(F)(c.x)
-        elif cfg.fd_mode == "central":
-            jac = central_fd_jacobian(F, c.x, cfg.fd_epsilon)
+            return jax.jacfwd(F)(x)
+        if cfg.fd_mode == "central":
+            return central_fd_jacobian(F, x, cfg.fd_epsilon)
+        return fd_jacobian(F, x, f, cfg.fd_epsilon)
+
+    def body(c: Carry) -> Carry:
+        if jacobian0 is None:
+            jac = fresh_jacobian(c.x, c.f)
+            # solve_dense, not jnp.linalg.solve: XLA's LU custom-call is
+            # f32-only on TPU and would break the fully-f64 on-chip solve.
+            direction = solve_dense(jac, -c.f)
+            x = c.x + jnp.asarray(cfg.damping, dt_) * direction
+            f = F(x)
+            norm = jnp.linalg.norm(f)
         else:
-            jac = fd_jacobian(F, c.x, c.f, cfg.fd_epsilon)
-        # solve_dense, not jnp.linalg.solve: XLA's LU custom-call is f32-only
-        # on TPU and would break the fully-f64 on-chip solve.
-        direction = solve_dense(jac, -c.f)
-        x = c.x + jnp.asarray(cfg.damping, dt_) * direction
-        f = F(x)
-        norm = jnp.linalg.norm(f)
+            # Quasi-Newton with refresh-on-failure (see ``jacobian0``): try
+            # the carried Jacobian at one evaluation; refresh only when the
+            # step misses sufficient decrease.  NaN norms compare False on
+            # the acceptance test, routing straight to the refresh branch.
+            d_try = solve_dense(c.jacobian, -c.f)
+            x_try = c.x + jnp.asarray(cfg.damping, dt_) * d_try
+            f_try = F(x_try)
+            n_try = jnp.linalg.norm(f_try)
+
+            def accept(_):
+                return x_try, f_try, n_try, c.jacobian
+
+            def refresh(_):
+                jac = fresh_jacobian(c.x, c.f)
+                d2 = solve_dense(jac, -c.f)
+                x2 = c.x + jnp.asarray(cfg.damping, dt_) * d2
+                f2 = F(x2)
+                return x2, f2, jnp.linalg.norm(f2), jac
+
+            x, f, norm, jac = jax.lax.cond(
+                n_try <= 0.9 * c.norm, accept, refresh, 0)
         it = c.it + 1
         if log:
             jax.debug.callback(_print_iteration, it, norm)

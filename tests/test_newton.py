@@ -194,3 +194,25 @@ def test_host_solver_F_args_fd_modes():
             assert bool(res.converged), (mode, serial, a_val)
             np.testing.assert_allclose(np.asarray(res.solution),
                                        np.sqrt([a_val, a_val]), rtol=1e-8)
+
+
+def test_warm_start_jacobian_quasi_mode(cfg, params, key, z_ref):
+    """jacobian0 (quasi-Newton with refresh-on-failure) must reach the
+    same root as the plain iteration, testing convergence on the true
+    residual.  (The on-chip sweep A/B rejected it for the judged sweep —
+    see the docstring — but the API contract stands.)"""
+    from armadillocudalinearinterpolation_tpu import (
+        make_residual_fn, newton_solve, NewtonConfig, MapParams)
+
+    ncfg = NewtonConfig(tolerance=1e-9, max_iterations=20, fd_epsilon=1e-7)
+    F = make_residual_fn(cfg, params, key)
+    r0 = jax.jit(lambda z: newton_solve(F, z, ncfg))(z_ref)
+    assert bool(r0.converged)
+    F2 = make_residual_fn(
+        cfg, MapParams.create(13.1589, 0.0, dtype="float64"), key)
+    r_q = jax.jit(lambda z, j: newton_solve(F2, z, ncfg, jacobian0=j))(
+        r0.solution, r0.jacobian)
+    r_p = jax.jit(lambda z: newton_solve(F2, z, ncfg))(r0.solution)
+    assert bool(r_q.converged) and bool(r_p.converged)
+    np.testing.assert_allclose(np.asarray(r_q.solution),
+                               np.asarray(r_p.solution), atol=1e-7)
