@@ -129,10 +129,15 @@ class ModelConfig:
     # certified left of the FIRST threshold crossing and Newton cannot
     # skip to the down-crossing root; lanes failing the guard fall back
     # to the cold t=0 start (the probe is their only extra cost).
-    # OFF by default: the warm probe costs one extra transcendental pair
-    # per lane per event, and warm/cold lanes take different iterate
-    # paths, so the windowed-vs-full bitwise-equality certification only
-    # holds within one warm-start setting (see evolve_pallas.py notes).
+    # OFF by default — measured and REJECTED on-chip (2026-08-20,
+    # artifacts/warm_start_ab.jsonl: the probe costs more than the saved
+    # iterations at every margin).  Also note: under warm start the
+    # windowed-vs-full bitwise-equality certification is NOT structural —
+    # the windowed kernel keeps stale seeds for out-of-window lanes
+    # (decremented by dt) while the full kernel reseeds every lane each
+    # event, so the two kernels may probe event-time Newton from
+    # different seeds and agree only to root_tol, not bitwise (cold mode
+    # keeps the exact bitwise guarantee).
     evolve_warm_start: bool = False
     # Left-shift applied to the warm seed: must exceed the typical
     # kick-induced root drift per event (kicked lanes' roots move

@@ -168,8 +168,12 @@ def newton_solve(
         only when that step fails sufficient decrease (``|F| <= 0.9 |F|``),
         and the refreshed step replaces it.  Convergence is always tested
         on the true residual, so results are exactly as trustworthy as the
-        plain iteration — only the launch count changes.  ``None``
-        (default) preserves the exact reference iteration.
+        plain iteration — only the launch count changes.  The exported
+        ``result.jacobian`` is guaranteed to belong to THIS map: if every
+        step accepted the carried (possibly foreign) Jacobian, a fresh
+        one is computed at the final iterate before returning (stability
+        analysis eigendecomposes the export).  ``None`` (default)
+        preserves the exact reference iteration.
         Measured caveat (on-chip A/B, v5e 2026-08-20): on the reference
         continuation sweep (N=512, R=1024, sigma=0.1, tol 1e-4, 10-iter
         budget) this LOSES — accepted-but-slow quasi steps (norm ratio
@@ -210,11 +214,13 @@ def newton_solve(
         converged: jax.Array
         history: jax.Array
         jacobian: jax.Array
+        jac_stale: jax.Array     # quasi mode: carried J is not this map's
 
     init = Carry(x=x0, f=f0, norm=norm0, it=jnp.int32(0),
                  converged=test(norm0), history=history0,
                  jacobian=(jacobian0.astype(dt_) if jacobian0 is not None
-                           else jnp.eye(n, dtype=dt_)))
+                           else jnp.eye(n, dtype=dt_)),
+                 jac_stale=jnp.asarray(jacobian0 is not None))
 
     def cond(c: Carry):
         keep = jnp.logical_and(c.it < cfg.max_iterations, ~c.converged)
@@ -249,6 +255,7 @@ def newton_solve(
             x = c.x + jnp.asarray(cfg.damping, dt_) * direction
             f = F(x)
             norm = jnp.linalg.norm(f)
+            stale = c.jac_stale
         else:
             # Quasi-Newton with refresh-on-failure (see ``jacobian0``): try
             # the carried Jacobian at one evaluation; refresh only when the
@@ -260,31 +267,44 @@ def newton_solve(
             n_try = jnp.linalg.norm(f_try)
 
             def accept(_):
-                return x_try, f_try, n_try, c.jacobian
+                return x_try, f_try, n_try, c.jacobian, c.jac_stale
 
             def refresh(_):
                 jac = fresh_jacobian(c.x, c.f)
                 d2 = solve_dense(jac, -c.f)
                 x2 = c.x + jnp.asarray(cfg.damping, dt_) * d2
                 f2 = F(x2)
-                return x2, f2, jnp.linalg.norm(f2), jac
+                return x2, f2, jnp.linalg.norm(f2), jac, jnp.asarray(False)
 
-            x, f, norm, jac = jax.lax.cond(
+            x, f, norm, jac, stale = jax.lax.cond(
                 n_try <= 0.9 * c.norm, accept, refresh, 0)
         it = c.it + 1
         if log:
             jax.debug.callback(_print_iteration, it, norm)
         return Carry(x=x, f=f, norm=norm, it=it, converged=test(norm),
-                     history=c.history.at[it].set(norm), jacobian=jac)
+                     history=c.history.at[it].set(norm), jacobian=jac,
+                     jac_stale=stale)
 
     out = jax.lax.while_loop(cond, body, init)
+
+    jac_out = out.jacobian
+    if jacobian0 is not None:
+        # Export contract: NewtonResult.jacobian must belong to THIS map
+        # (stability analysis eigendecomposes it).  If every quasi step was
+        # accepted, the carry still holds the caller's warm-start Jacobian —
+        # possibly from a different parameter point; recompute at the final
+        # iterate in that case (one Jacobian batch, only when stale).
+        jac_out = jax.lax.cond(
+            out.jac_stale,
+            lambda: fresh_jacobian(out.x, out.f),
+            lambda: out.jacobian)
 
     if log:
         jax.debug.callback(_print_footer, out.it, out.converged)
 
     return NewtonResult(solution=out.x, converged=out.converged,
                         iterations=out.it, residual_norm=out.norm,
-                        residual_history=out.history, jacobian=out.jacobian,
+                        residual_history=out.history, jacobian=jac_out,
                         residual=out.f)
 
 

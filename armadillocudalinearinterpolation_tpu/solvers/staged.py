@@ -178,16 +178,24 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
         return cache[fused_key](z, ep, sched, n_ev, ii, params, key)
 
     def score(z):
+        # returns the residual AND the discovered schedule so a winning
+        # scored trial's Jacobian fill-in (``fill``) reuses it instead of
+        # re-running the f32 discovery evolve at the same point
         sched, n_ev, ii = cache["sched"](z, params, key)
-        return cache["score"](z, sched, n_ev, ii, params, key)
+        return (cache["score"](z, sched, n_ev, ii, params, key),
+                (sched, n_ev, ii))
+
+    def fill(z, ep, aux):
+        sched, n_ev, ii = aux
+        return cache[fused_key](z, ep, sched, n_ev, ii, params, key)
 
     return frozen_newton_loop(evaluate, x0.astype(dt_), ncfg, dt_, eps,
-                              backtrack=True, score=score)
+                              backtrack=True, score=score, fill=fill)
 
 
 def frozen_newton_loop(evaluate, x0: jax.Array, ncfg: NewtonConfig,
                        dt_, eps, *, backtrack: bool,
-                       score=None) -> NewtonResult:
+                       score=None, fill=None) -> NewtonResult:
     """Shared host Newton loop over a fused ``evaluate(x, eps) -> (F, J)``
     program — the policy layer of :func:`newton_solve_frozen` and the
     bordered arclength corrector
@@ -259,9 +267,9 @@ def frozen_newton_loop(evaluate, x0: jax.Array, ncfg: NewtonConfig,
         for i in range(4):
             x_try = x + jnp.asarray(scale, dt_) * direction
             if i == 0 or score is None:
-                f_new, jac_new = ev(x_try, eps)
+                f_new, jac_new, aux = *ev(x_try, eps), None
             else:
-                f_new, jac_new = score(x_try), None
+                (f_new, aux), jac_new = score(x_try), None
             n_try = jnp.linalg.norm(f_new)
             n_val = float(n_try)
             # replace a NaN best with any finite candidate (NaN compares
@@ -269,17 +277,21 @@ def frozen_newton_loop(evaluate, x0: jax.Array, ncfg: NewtonConfig,
             # keep a NaN first try forever)
             if (best is None or best[0] != best[0]
                     or (n_val == n_val and n_val < best[0])):
-                best = (n_val, x_try, f_new, jac_new, n_try)
+                best = (n_val, x_try, f_new, jac_new, n_try, aux)
             if n_val == n_val and n_val <= norm_ref:
                 break
             scale *= 0.5
         if best[3] is None:
-            # a scored trial won: one fused launch supplies its Jacobian
-            # (and the authoritative (F, |F|) — same schedule, same math;
-            # re-deriving them keeps the loop state self-consistent)
-            f_b, jac_b = ev(best[1], eps)
+            # a scored trial won: one replay launch (reusing the score's
+            # discovered schedule via ``fill`` when available) supplies its
+            # Jacobian and the authoritative (F, |F|), keeping the loop
+            # state self-consistent
+            if fill is not None and best[5] is not None:
+                f_b, jac_b = fill(best[1], eps, best[5])
+            else:
+                f_b, jac_b = ev(best[1], eps)
             n_b = jnp.linalg.norm(f_b)
-            best = (float(n_b), best[1], f_b, jac_b, n_b)
+            best = (float(n_b), best[1], f_b, jac_b, n_b, None)
         return best
 
     while it < ncfg.max_iterations and not converged:
@@ -301,7 +313,7 @@ def frozen_newton_loop(evaluate, x0: jax.Array, ncfg: NewtonConfig,
                                      float(norm))
                     if best_r[0] == best_r[0] and not (best_r[0] >= best[0]):
                         best = best_r
-            _, x, f, jac, norm = best
+            _, x, f, jac, norm, _ = best
         else:
             x = x + jnp.asarray(ncfg.damping, dt_) * solve_dense(jac, -f)
             f, jac = ev(x, eps)

@@ -5,6 +5,11 @@ tests exercise the fp64 CPU oracle path (SURVEY.md §7 hard-part 3) and the
 multi-chip sharding story on virtual devices.  The axon sitecustomize imports
 jax at interpreter startup, so the platform is switched via ``jax.config``
 (still possible pre-backend-init) rather than ``JAX_PLATFORMS``.
+
+NOTE: the default tier deselects ``@pytest.mark.slow`` via pyproject
+``addopts`` — this ALSO deselects a slow test you name explicitly by node
+id ("1 deselected, no tests ran").  Override with ``-m ""`` (run
+everything) or ``-m slow`` (slow tier only).
 """
 
 import os
