@@ -120,6 +120,18 @@ class ModelConfig:
     #             +24% on the vmapped FD path, see "cond" above — use
     #             "cond" for vmapped callers).
     replay_exp_mode: str = "hoisted"
+    # Replay event-loop form (model/replay.py).  "while" (default): the
+    # bounded lax.while_loop stopping at max(n_sched) — exact (dead-tail
+    # steps are fully live-masked) and skips the ~15-20% of cfg.max_events
+    # typical trajectories leave unfilled.  "scan": fixed-length lax.scan
+    # over all cfg.max_events steps — same math (bitwise-identical values
+    # and Jacobians, tested), MEASURED AND REJECTED as the jacfwd fix
+    # (v5e 2026-08-20, N=4096 R=64 warm: jacfwd 3.95 s scan vs 3.35
+    # while; forward 0.27 vs 0.24 — the scan JVP fuses no better and
+    # pays the dead tail).  The ~14x jacfwd-vs-forward ratio is
+    # intrinsic to differentiating the df64 carry chains, not a loop-form
+    # artifact; the knob stays as the recorded A/B.
+    replay_loop: str = "while"
     # Warm-started event-time Newton in the Pallas evolve kernel
     # (ROADMAP/VERDICT r3 #6): seed each event's per-lane root-find from
     # the previous event's root shifted by the elapsed dt, minus
@@ -180,6 +192,9 @@ class ModelConfig:
             raise ValueError("replay_exp_mode must be 'cond', 'small', "
                              f"'fast' or 'hoisted'; got "
                              f"{self.replay_exp_mode!r}")
+        if self.replay_loop not in ("while", "scan"):
+            raise ValueError("replay_loop must be 'while' or 'scan'; got "
+                             f"{self.replay_loop!r}")
         if self.n_neurons < 256:
             import warnings
             warnings.warn(

@@ -465,6 +465,20 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         return e < n_live
 
     def run_loop(exp_mode: str) -> _DFCarry:
+        if cfg.replay_loop == "scan":
+            # Fixed-length scan over all E steps (cfg.replay_loop="scan"):
+            # identical math — steps past n_sched are fully live-masked —
+            # at ~15-20% dead-tail cost.  Exists for jacfwd consumers
+            # (ROADMAP 1b: scan's JVP may fuse better than while's).
+            def s_body(c, inputs):
+                e, j = inputs
+                return body(c, e, j, exp_mode), None
+
+            out, _ = jax.lax.scan(
+                s_body, init,
+                (jnp.arange(E, dtype=jnp.int32), sched_t))
+            return out
+
         def w_body(state):
             e, c = state
             j = jax.lax.dynamic_index_in_dim(sched_t, e, axis=0,

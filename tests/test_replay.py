@@ -335,3 +335,21 @@ def test_replay_large_sigma_consistency(cfg):
     # grazing-event schedule flips (f32 pass vs f64) bound the agreement:
     # the commutator scale at N=512, far above df64 arithmetic error
     assert float(jnp.max(jnp.abs(f_ref - f_rep))) < 1e-5
+
+
+@pytest.mark.slow
+def test_replay_loop_scan_matches_while(key):
+    """cfg.replay_loop='scan' (fixed-length scan, the measured-and-rejected
+    jacfwd A/B variant — config.py) must match the bounded-while default
+    bitwise, values and jacfwd Jacobians both."""
+    params = alt.MapParams.create(13.0589, 0.1, dtype="float64")
+    z = jnp.array([0.3310, 0.6914, 1.3557], jnp.float64)
+    outs = {}
+    for loop in ("while", "scan"):
+        cfg = alt.ModelConfig(n_neurons=512, n_real=4, dtype="float64",
+                              root_tol=1e-12, max_events=2048,
+                              replay_loop=loop)
+        F = alt.make_residual_fn(cfg, params, key, evolve_backend="replay")
+        outs[loop] = (np.asarray(F(z)), np.asarray(jax.jacfwd(F)(z)))
+    np.testing.assert_array_equal(outs["while"][0], outs["scan"][0])
+    np.testing.assert_array_equal(outs["while"][1], outs["scan"][1])
