@@ -202,3 +202,22 @@ def test_checkpoint_tolerates_truncated_final_payload(tmp_path):
             npz1 = tmp_path / "c" / "step_00001.npz"
             npz1.write_bytes(npz1.read_bytes()[:20])
             ck.last()
+
+
+@pytest.mark.slow
+def test_cli_predictor_stays_on_branch(capsys):
+    """The secant predictor must extrapolate only from two consecutive
+    converged solutions — the original guess->solution pairing sent step 1
+    of exactly this sweep (N=512 R=4 f64) into the coexisting fast wave
+    family (z_2 ~ 11).  Every converged solution must stay on the slow
+    family (z_2 ~ 1.37), and --predict must still converge every step."""
+    rc = main(["--neurons", "512", "--realisations", "4",
+               "--dtype", "float64", "--tol", "1e-8", "--fd-eps", "1e-7",
+               "--quiet", "--steps", "4", "--beta-step", "0.1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("converged=True") == 4
+    import re
+    for m in re.finditer(r"Z=\[([^\]]+)\]", out):
+        z = [float(x) for x in m.group(1).split()]
+        assert z[2] < 2.0, f"basin hop to the fast family: {z}"
