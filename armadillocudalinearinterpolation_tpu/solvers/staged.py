@@ -12,7 +12,7 @@ reached in three stages whose cost profile was measured on the chip
      backend.  Default Jacobian mode ``"frozen-fwd"`` — one fused
      ``(n+1)``-point frozen-schedule replay launch per iteration
      (:func:`newton_solve_frozen`), jacfwd-grade direction at forward-eval
-     cost; ``"exact"`` (jacfwd through the replay, ~8x a forward eval per
+     cost; ``"exact"`` (jacfwd through the replay, ~14x a forward eval per
      iteration) remains the machine-grade-Jacobian option.  Either way the
      stage's tolerance is NOT the target: it stops inside the polish's
      capture range (``stage2_tolerance``, default ``5 * tolerance``),
@@ -64,7 +64,9 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
     boundaries; at ``eps ≤ 1e-4`` they do not).
 
     Why this beats ``fd_mode="exact"``: jacfwd through the replay scan costs
-    ~8x a forward evaluation and requires the backend to define JVPs; here
+    ~14x a forward evaluation on chip (measured round 4 — differentiating
+    the df64 carry chains is intrinsically wide) and requires the backend
+    to define JVPs; here
     the Jacobian is ``2n`` *forward* replays batched into one launch (n=3:
     7-wide — TPU-friendly width, no JVP machinery), plus the cheap f32
     schedule pass.  Unlike :func:`..solvers.newton.newton_solve_host`, a
