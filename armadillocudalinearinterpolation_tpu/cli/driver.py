@@ -470,14 +470,28 @@ def _run(args) -> int:
     # step 1 straight into the coexisting fast family's basin) — and a
     # failed step resets it, so extrapolation never leaps across a
     # failure.
+    # (when the pair is live, Z itself is the newer converged solution, so
+    # one "two steps back" variable suffices; bench.py's copy of this rule
+    # deliberately differs on FAILED steps — it retries from the last
+    # converged iterate, while this loop follows the reference and
+    # warm-starts from whatever the failed solve returned)
     Z_conv_prev = None   # converged solution two steps back
-    Z_conv = None        # converged solution one step back
+    Z_is_conv = False    # current Z is a converged solution (not a guess)
     for i in range(start, start + args.steps):
         params = MapParams.create(beta, args.sigma, dtype=args.dtype)
-        guess = Z + (Z - Z_conv_prev) \
-            if (args.predict and Z_conv_prev is not None
-                and Z_conv is not None) else Z
+        predicted = args.predict and Z_conv_prev is not None
+        guess = Z + (Z - Z_conv_prev) if predicted else Z
         res = solve(params, key, guess)
+        if predicted and not np.isfinite(np.asarray(res.solution)).all():
+            # An extrapolated guess that lands off-branch (e.g. straddling
+            # a fold) can send damping-1 Newton to NaN, which the
+            # non-finite hard-stop below treats as the branch end.  The
+            # reference loop would have paid this step from the plain
+            # warm start and failed FINITELY — retry once that way before
+            # concluding anything.
+            print(f"step {i}: predicted guess diverged; retrying with the "
+                  "plain warm start")
+            res = solve(params, key, Z)
         sol = np.asarray(res.solution)
         ok = bool(res.converged)
         if (not args.quiet and not args.staged
@@ -536,9 +550,14 @@ def _run(args) -> int:
         # start).
         beta += args.beta_step
         if ok:
-            Z_conv_prev, Z_conv = Z_conv, res.solution
+            # the outgoing Z becomes the "two steps back" anchor ONLY if
+            # it was itself a converged solution (never the caller's
+            # guess or a failed step's iterate)
+            Z_conv_prev = Z if Z_is_conv else None
+            Z_is_conv = True
         else:
-            Z_conv_prev = Z_conv = None
+            Z_conv_prev = None
+            Z_is_conv = False
         Z = res.solution
         key, _ = jax.random.split(key)
 

@@ -31,7 +31,8 @@ The replay is also the **differentiable fast path** (VERDICT round 2, item
 #2): the scan body is smooth given the schedule — the scalar root carries
 the implicit-function-theorem tangent (:func:`..model.events.event_time`'s
 custom JVP seeds it, the two df64 Newton corrections converge the tangent
-to the IFT value) — so ``jax.jacfwd`` flows through at ~3x forward cost,
+to the IFT value) — so ``jax.jacfwd`` flows through at ~14x forward cost
+(measured on chip, round 4 — the df64 tangent chains are wide),
 with the schedule pass excluded from differentiation via ``stop_gradient``
 (its tangents are all zero by construction; the derivative of the map's
 smooth piece IS the fixed-schedule derivative).
@@ -530,7 +531,7 @@ def compute_schedule(cfg: ModelConfig, v0: jax.Array, s0: jax.Array,
     uses the windowed batched loop (any platform), and ``"auto"`` picks
     Pallas when the kernel's constraints hold on TPU.  Inputs pass through
     ``stop_gradient``: the schedule is discrete, and excluding the pass
-    from differentiation is what makes ``jacfwd`` of the replay cost ~3x a
+    from differentiation is what makes ``jacfwd`` of the replay cost ~14x a
     forward evaluation instead of also dragging tangents through the
     discovery loop.
     """

@@ -204,8 +204,10 @@ def test_checkpoint_tolerates_truncated_final_payload(tmp_path):
             ck.last()
 
 
-@pytest.mark.slow
 def test_cli_predictor_stays_on_branch(capsys):
+    # fast tier on purpose: this guards the in-round basin-hop regression
+    # of the DEFAULT-ON --predict path (review finding: the only predictor
+    # test must not live behind the slow marker)
     """The secant predictor must extrapolate only from two consecutive
     converged solutions — the original guess->solution pairing sent step 1
     of exactly this sweep (N=512 R=4 f64) into the coexisting fast wave
