@@ -190,6 +190,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def predicted_retry_needed(res) -> bool:
+    """Whether a secant-PREDICTED sweep step must be retried from the plain
+    reference warm start (``Driver.cu:107-109``).
+
+    Any failure qualifies — hard (non-finite iterate: damping-1 Newton from
+    an off-branch extrapolation can go straight to NaN, which the sweep's
+    non-finite hard-stop would misread as the branch end) or soft (finite
+    non-convergence: recording the extrapolated FAILED iterate would seed
+    the next step's warm start and compound the miss, diverging from the
+    reference loop's behavior).  A genuine branch end fails the retry too,
+    so nothing real is masked — the step just costs one extra solve, and
+    only on the first failure after a converged pair (a failed step resets
+    the predictor)."""
+    return not (bool(res.converged)
+                and np.isfinite(np.asarray(res.solution)).all())
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -482,14 +499,11 @@ def _run(args) -> int:
         predicted = args.predict and Z_conv_prev is not None
         guess = Z + (Z - Z_conv_prev) if predicted else Z
         res = solve(params, key, guess)
-        if predicted and not np.isfinite(np.asarray(res.solution)).all():
-            # An extrapolated guess that lands off-branch (e.g. straddling
-            # a fold) can send damping-1 Newton to NaN, which the
-            # non-finite hard-stop below treats as the branch end.  The
-            # reference loop would have paid this step from the plain
-            # warm start and failed FINITELY — retry once that way before
-            # concluding anything.
-            print(f"step {i}: predicted guess diverged; retrying with the "
+        if predicted and predicted_retry_needed(res):
+            how = ("diverged"
+                   if not np.isfinite(np.asarray(res.solution)).all()
+                   else "did not converge")
+            print(f"step {i}: predicted guess {how}; retrying with the "
                   "plain warm start")
             res = solve(params, key, Z)
         sol = np.asarray(res.solution)

@@ -85,6 +85,15 @@ def _r_block(n_neurons: int, warm: bool = False) -> int:
     """
     budget = _BLOCK_ELEMENT_BUDGET * 3 // 4 if warm \
         else _BLOCK_ELEMENT_BUDGET
+    if warm and 8 * n_neurons > budget:
+        # The 8-row floor below would silently exceed the reduced warm
+        # budget for n_neurons in (12288, 16384], re-creating the measured
+        # 16M scoped-VMEM overflow the 3/4 shrink exists to prevent.  (The
+        # cold budget only reaches its floor exactly at N=16384.)
+        raise ValueError(
+            f"evolve_warm_start needs 8*{n_neurons} <= {budget} VMEM-budget "
+            "elements; disable warm start (or use the windowed/XLA backend) "
+            f"for n_neurons > {budget // 8}")
     rb = budget // n_neurons
     return int(max(8, min(128, (rb // 8) * 8)))
 

@@ -290,6 +290,14 @@ def frozen_newton_loop(evaluate, x0: jax.Array, ncfg: NewtonConfig,
             # state self-consistent
             if fill is not None and best[5] is not None:
                 f_b, jac_b = fill(best[1], eps, best[5])
+                if not bool(jnp.all(jnp.isfinite(jac_b))):
+                    # same non-finite-Jacobian retry contract as ``ev``:
+                    # a stencil point straddling an event-reordering
+                    # boundary can poison the schedule-reusing fill; a
+                    # fresh evaluate (with its own eps/8 fallback) keeps
+                    # the loop from installing a NaN Jacobian that the
+                    # fused-trial path would have refreshed
+                    f_b, jac_b = ev(best[1], eps)
             else:
                 f_b, jac_b = ev(best[1], eps)
             n_b = jnp.linalg.norm(f_b)

@@ -223,3 +223,27 @@ def test_cli_predictor_stays_on_branch(capsys):
     for m in re.finditer(r"Z=\[([^\]]+)\]", out):
         z = [float(x) for x in m.group(1).split()]
         assert z[2] < 2.0, f"basin hop to the fast family: {z}"
+
+
+def test_predicted_retry_needed_covers_soft_failures():
+    """ADVICE r4: a predicted sweep step retries the plain reference warm
+    start on ANY failure — finite non-convergence included, not just NaN
+    (a finitely-failed extrapolated iterate would otherwise seed the next
+    step and diverge from Driver.cu:107-109 behavior)."""
+    from types import SimpleNamespace
+
+    from armadillocudalinearinterpolation_tpu.cli.driver import (
+        predicted_retry_needed)
+
+    ok = SimpleNamespace(converged=True, solution=np.array([1.0, 2.0]))
+    soft = SimpleNamespace(converged=False, solution=np.array([1.0, 2.0]))
+    hard = SimpleNamespace(converged=False,
+                           solution=np.array([np.nan, 2.0]))
+    # converged=True with a NaN iterate cannot normally happen, but the
+    # retry must still fire if it does (the hard-stop below would end the
+    # sweep otherwise)
+    weird = SimpleNamespace(converged=True, solution=np.array([np.inf]))
+    assert not predicted_retry_needed(ok)
+    assert predicted_retry_needed(soft)
+    assert predicted_retry_needed(hard)
+    assert predicted_retry_needed(weird)

@@ -154,3 +154,21 @@ def test_warm_start_interpret_matches_cold(interpreted, z_ref):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(f_warm),
                                np.asarray(f_warm_win), atol=5e-5)
+
+
+def test_warm_start_vmem_budget_guard():
+    """ADVICE r4: for n_neurons in (12288, 16384] the 8-row floor would
+    silently exceed the 3/4 warm VMEM budget (the measured 16M scoped-VMEM
+    overflow the shrink exists to prevent) — it must raise instead."""
+    from armadillocudalinearinterpolation_tpu.model.evolve_pallas import (
+        _BLOCK_ELEMENT_BUDGET, _r_block)
+
+    warm_budget = _BLOCK_ELEMENT_BUDGET * 3 // 4
+    # largest warm-legal N: exactly 8 rows fit the reduced budget
+    assert _r_block(warm_budget // 8, warm=True) == 8
+    with pytest.raises(ValueError, match="warm"):
+        _r_block(warm_budget // 8 + 128, warm=True)
+    with pytest.raises(ValueError, match="warm"):
+        _r_block(16384, warm=True)
+    # the cold path reaches its floor exactly at N=16384 without overflow
+    assert _r_block(16384, warm=False) == 8

@@ -346,3 +346,49 @@ def test_staged_stage1_shares_the_draw(key):
         f"stage-1 residual at the accurate root is {entry:.2e} — "
         "MC-difference scale; the fp32 stage is solving a different "
         "realisation than the accurate stages")
+
+
+def test_scored_winner_nan_fill_retries_like_ev():
+    """ADVICE r4: a scored backtracking winner whose schedule-reusing fill
+    returns a non-finite Jacobian must be re-evaluated through the same
+    fresh-evaluate + eps/8 retry path ``ev`` uses — NOT installed into the
+    loop state (recovery would otherwise wait a full iteration for the
+    NaN-best refresh).  Synthetic 1-D arctan problem: the full Newton step
+    from x0=3 overshoots (|F| grows), so halved trials are *scored* and a
+    scored trial wins -> the fill path runs; we poison its first call."""
+    from armadillocudalinearinterpolation_tpu.solvers.staged import (
+        frozen_newton_loop)
+
+    dt_ = jnp.float64
+    calls = {"fill": 0, "evaluate": 0}
+
+    def evaluate(z, ep):
+        calls["evaluate"] += 1
+        f = jnp.arctan(z)
+        jac = (1.0 / (1.0 + z * z))[:, None]
+        return f, jac
+
+    def score(z):
+        return jnp.arctan(z), ("sched",)
+
+    def fill(z, ep, aux):
+        calls["fill"] += 1
+        assert aux == ("sched",)
+        f = jnp.arctan(z)
+        if calls["fill"] == 1:
+            return f, jnp.full((1, 1), jnp.nan, dt_)
+        return f, (1.0 / (1.0 + z * z))[:, None]
+
+    ncfg = NewtonConfig(tolerance=1e-10, max_iterations=12, damping=1.0,
+                        print_output=False)
+    res = frozen_newton_loop(evaluate, jnp.array([3.0], dt_), ncfg, dt_,
+                             jnp.asarray(1e-6, dt_), backtrack=True,
+                             score=score, fill=fill)
+    assert bool(res.converged)
+    assert np.isfinite(np.asarray(res.jacobian)).all()
+    # the poisoned fill happened, and the retry re-evaluated fresh
+    assert calls["fill"] >= 1
+    assert calls["evaluate"] >= 2
+    # no NaN ever entered the recorded history (the loop state stayed sane)
+    hist = np.asarray(res.residual_history)
+    assert np.isfinite(hist[: int(res.iterations) + 1]).all()
