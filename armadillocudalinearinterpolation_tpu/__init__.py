@@ -35,7 +35,8 @@ from .model.emap import (
 from .solvers.criterion import residual_norm_criterion
 from .solvers.newton import (newton_solve, newton_solve_host,
                              frozen_jacobian_polish, NewtonResult)
-from .solvers.staged import newton_solve_frozen, newton_solve_staged
+from .solvers.staged import (newton_solve_frozen, newton_solve_staged,
+                             staged_aot_warmup)
 from .analysis.stability import (
     ProblemType,
     compute_eigenvalues,
@@ -73,6 +74,7 @@ __all__ = [
     "newton_solve_frozen",
     "newton_solve_host",
     "newton_solve_staged",
+    "staged_aot_warmup",
     "frozen_jacobian_polish",
     "NewtonResult",
     "ProblemType",

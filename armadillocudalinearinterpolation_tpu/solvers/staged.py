@@ -43,6 +43,56 @@ from .newton import (NewtonResult, frozen_jacobian_polish, newton_solve,
                      _print_iteration)
 
 
+def _ensure_frozen_programs(cache: dict, cfg: ModelConfig, n: int, dt_,
+                            fwd: bool, mesh, mesh_axis: str) -> None:
+    """Populate ``cache`` with the frozen solver's three jitted programs
+    (idempotent).  Shared by :func:`newton_solve_frozen` and the AOT
+    warmup (:func:`staged_aot_warmup`) so both build the SAME program
+    objects — the warmup's compiled executables are only useful if the
+    solve's cache lookups hit them."""
+    if "sched" not in cache:
+        # mesh: the discovery evolve partitions over the ensemble like the
+        # stencil replay it feeds (it used to run replicated under a mesh)
+        cache["sched"] = jax.jit(
+            lambda z, p, k: compute_discrete_outcome(
+                cfg, p, k, z, mesh=mesh, mesh_axis=mesh_axis))
+    # (no mesh suffix: the identity guard pins one mesh per cache,
+    # so a suffix could never disambiguate anything)
+    fused_key = "fused_fwd" if fwd else "fused"
+    if fused_key not in cache:
+        def _fused(z, ep, sched, n_ev, ii, p, k):
+            e = ep * jnp.eye(n, dtype=dt_)
+            pts = (jnp.concatenate([z[None, :], z[None, :] + e])  # (n+1, n)
+                   if fwd else
+                   jnp.concatenate([z[None, :], z[None, :] + e,
+                                    z[None, :] - e]))             # (2n+1, n)
+            # flat stencil*R-row replay, NOT vmap(frozen_schedule_map):
+            # under vmap the replay's per-event lax.cond runs both exp
+            # branches (see frozen_schedule_map_batched)
+            vals = frozen_schedule_map_batched(cfg, p, k, pts,
+                                               sched, n_ev, ii,
+                                               row_mesh=mesh,
+                                               row_axis=mesh_axis)
+            f = vals[0]
+            jac = ((vals[1:] - f).T / ep if fwd
+                   else (vals[1:n + 1] - vals[n + 1:]).T / (2.0 * ep))
+            return f, jac
+        cache[fused_key] = jax.jit(_fused)
+
+    # Residual-only scoring program for backtracking trials (VERDICT r3
+    # #7): a losing trial needs F(x_try) — ONE replay row — to be scored,
+    # not the full (n+1)/(2n+1)-row fused stencil.  Mode-independent (no
+    # eps, no stencil), so one cached program serves both fd modes.
+    if "score" not in cache:
+        def _score(z, sched, n_ev, ii, p, k):
+            vals = frozen_schedule_map_batched(cfg, p, k, z[None, :],
+                                               sched, n_ev, ii,
+                                               row_mesh=mesh,
+                                               row_axis=mesh_axis)
+            return vals[0]
+        cache["score"] = jax.jit(_score)
+
+
 def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
                         x0: jax.Array, ncfg: NewtonConfig, *,
                         jit_cache: Optional[dict] = None,
@@ -133,47 +183,8 @@ def newton_solve_frozen(cfg: ModelConfig, params: MapParams, key: jax.Array,
             "schedule/fused programs close over them.  Use a fresh cache "
             "for a different setup.")
 
-    if "sched" not in cache:
-        # mesh: the discovery evolve partitions over the ensemble like the
-        # stencil replay it feeds (it used to run replicated under a mesh)
-        cache["sched"] = jax.jit(
-            lambda z, p, k: compute_discrete_outcome(
-                cfg, p, k, z, mesh=mesh, mesh_axis=mesh_axis))
-    # (no mesh suffix: the identity guard above pins one mesh per cache,
-    # so a suffix could never disambiguate anything)
+    _ensure_frozen_programs(cache, cfg, n, dt_, fwd, mesh, mesh_axis)
     fused_key = "fused_fwd" if fwd else "fused"
-    if fused_key not in cache:
-        def _fused(z, ep, sched, n_ev, ii, p, k):
-            e = ep * jnp.eye(n, dtype=dt_)
-            pts = (jnp.concatenate([z[None, :], z[None, :] + e])  # (n+1, n)
-                   if fwd else
-                   jnp.concatenate([z[None, :], z[None, :] + e,
-                                    z[None, :] - e]))             # (2n+1, n)
-            # flat stencil*R-row replay, NOT vmap(frozen_schedule_map):
-            # under vmap the replay's per-event lax.cond runs both exp
-            # branches (see frozen_schedule_map_batched)
-            vals = frozen_schedule_map_batched(cfg, p, k, pts,
-                                               sched, n_ev, ii,
-                                               row_mesh=mesh,
-                                               row_axis=mesh_axis)
-            f = vals[0]
-            jac = ((vals[1:] - f).T / ep if fwd
-                   else (vals[1:n + 1] - vals[n + 1:]).T / (2.0 * ep))
-            return f, jac
-        cache[fused_key] = jax.jit(_fused)
-
-    # Residual-only scoring program for backtracking trials (VERDICT r3
-    # #7): a losing trial needs F(x_try) — ONE replay row — to be scored,
-    # not the full (n+1)/(2n+1)-row fused stencil.  Mode-independent (no
-    # eps, no stencil), so one cached program serves both fd modes.
-    if "score" not in cache:
-        def _score(z, sched, n_ev, ii, p, k):
-            vals = frozen_schedule_map_batched(cfg, p, k, z[None, :],
-                                               sched, n_ev, ii,
-                                               row_mesh=mesh,
-                                               row_axis=mesh_axis)
-            return vals[0]
-        cache["score"] = jax.jit(_score)
 
     def evaluate(z, ep):
         sched, n_ev, ii = cache["sched"](z, params, key)
@@ -344,6 +355,257 @@ def frozen_newton_loop(evaluate, x0: jax.Array, ncfg: NewtonConfig,
                         residual_history=hist, jacobian=jac, residual=f)
 
 
+def _resolve_staged(cfg: ModelConfig, tolerance: float,
+                    stage1_ncfg, stage2_ncfg, stage2_tolerance,
+                    evolve_backend: str):
+    """Resolve the staged recipe's defaults (shared by
+    :func:`newton_solve_staged` and :func:`staged_aot_warmup` so the
+    warmup builds programs under EXACTLY the solve's identity)."""
+    # The accurate stage differentiates the map (exact mode) and solves in
+    # f64, which the raw Pallas kernel can do neither of (fp32-only, no
+    # JVP) — resolve "auto"/"pallas" at the library boundary (round-2
+    # advisor convention, cf. emap.differentiable_backend) to the replay
+    # backend: it IS the Pallas-accelerated accurate path (f32 schedule
+    # pass in the kernel + differentiable df64 replay).
+    if evolve_backend in ("auto", "pallas"):
+        evolve_backend = "replay"
+    # The event-time roots must resolve far below the residual target —
+    # crossing times feed the restriction lerp directly, so root error is
+    # residual error.  Tighten a default-config root_tol (1e-6, the
+    # reference's parameters.hpp value) to 1e-4x the target; an already
+    # tighter caller value is kept.
+    cfg = cfg.with_(root_tol=min(cfg.root_tol, 1e-4 * tolerance))
+    cfg32 = cfg.with_(dtype="float32",
+                      root_tol=max(cfg.root_tol, 1e-6))
+    if stage1_ncfg is None:
+        stage1_ncfg = NewtonConfig(tolerance=tolerance, max_iterations=6,
+                                   fd_epsilon=1e-3, fd_mode="central")
+    if stage2_tolerance is None:
+        stage2_tolerance = 5.0 * tolerance
+    if stage2_ncfg is None:
+        # budget 6, but the stage stops at stage2_tolerance — from a good
+        # fp32 hand-off (~2e-5 at reference scale) that is 1-2 iterations;
+        # the slack only spends when the fp32 floor is high (small
+        # ensembles), where damped Newton needs the extra steps (a
+        # divergence cutoff here was tried and rejected: an early
+        # transient overshoot is normal from a rough hand-off, and
+        # cutting it off hands the polish a diverged iterate).
+        # Default mode "frozen-fwd" per the on-chip A/B (N=4096 R=64,
+        # warm end-to-end staged solve from cold and perturbed guesses):
+        # frozen-fwd 7.07 s (both <= 1e-8), frozen-central 8.16 s (one
+        # pass landed at 1.2e-8), exact-jacfwd 14.7 s (both <= 1e-8).
+        # The one-sided frozen stencil's ~3e-6 Jacobian accuracy is
+        # orders beyond what Newton needs, and newton_solve_frozen's
+        # backtracking + eps-refresh hardening carries the robustness
+        # duty.  Pass fd_mode="exact" for machine-grade exported
+        # Jacobians (jacfwd through the replay), or "frozen" when the
+        # Jacobian feeds eigenvalue analysis near criticality (~3e-7,
+        # central stencil).
+        #
+        # The frozen modes run the df64 REPLAY unconditionally
+        # (newton_solve_frozen's whole design is the frozen-schedule
+        # replay), so an explicit evolve_backend="xla" — the native/
+        # emulated-f64 oracle path — must not be silently rerouted
+        # through them: its stage 2 defaults to exact jacfwd on the
+        # requested backend instead.
+        mode = "frozen-fwd" if evolve_backend == "replay" else "exact"
+        stage2_ncfg = NewtonConfig(tolerance=stage2_tolerance,
+                                   max_iterations=6, fd_mode=mode,
+                                   fd_epsilon=1e-6)
+
+    if (stage2_ncfg.fd_mode in ("frozen", "frozen-fwd")
+            and evolve_backend != "replay"):
+        raise ValueError(
+            f"stage2_ncfg.fd_mode={stage2_ncfg.fd_mode!r} runs the df64 "
+            f"replay unconditionally, but evolve_backend="
+            f"{evolve_backend!r} was requested — stage 2 would converge "
+            "on the replay residual while the polish and the final "
+            "converged flag use the requested backend's (they differ by "
+            "the ~1e-8 replay-vs-f64 delta).  Use evolve_backend='replay' "
+            "with the frozen modes, or fd_mode='exact'/'central' with "
+            "this backend.")
+    return cfg, cfg32, stage1_ncfg, stage2_ncfg, evolve_backend
+
+
+def _ensure_stage1_program(cache: dict, cfg: ModelConfig, cfg32: ModelConfig,
+                           stage1_ncfg: NewtonConfig, mesh,
+                           mesh_axis: str) -> None:
+    """Populate ``cache["stage1"]`` (idempotent): the jitted fp32 fused
+    Newton solve ``(z32, params32, key) -> NewtonResult``."""
+    if "stage1" in cache:
+        return
+    from ..model import emap as _emap
+    from ..model.restrict import masked_ensemble_mean
+
+    dt_acc = cfg.jdtype
+
+    def _draw32(p32, k):
+        # ONE stochastic realisation across every stage (the docstring
+        # contract): the heterogeneity draw happens at the ACCURATE
+        # dtype and is cast to f32.  jax.random.normal(key, dtype=f32)
+        # is a different bit stream than the f64 draw from the same
+        # key, so sampling per-stage made the fp32 stage solve a
+        # DIFFERENT realisation of the map at sigma > 0 — an O(MC
+        # difference) hand-off error instead of O(f32 rounding)
+        # (round-3 review finding).
+        p_acc = jax.tree.map(lambda x: jnp.asarray(x, dt_acc), p32)
+        return _emap.sample_beta(cfg, p_acc, k).astype(jnp.float32)
+
+    use_pal = (mesh is None
+               and _emap.select_pallas_evolve(cfg32, "auto"))
+    if mesh is None:
+        cst32 = None
+    else:
+        from ..parallel.sharding import ensemble_constraint
+        cst32 = ensemble_constraint(mesh, mesh_axis)
+
+    def _F32(z, p, k):
+        beta = _draw32(p, k)
+        if cst32 is not None:
+            beta = cst32(beta)
+        U, _, _, _, res, positions = _emap.run_pipeline(
+            cfg32, p, z, beta, use_pallas=use_pal)
+        u_mean, _ = masked_ensemble_mean(positions, res.accept)
+        return _emap.assemble_residual(cfg32, U, u_mean)
+
+    def _stage1(z, p, k):
+        return newton_solve(lambda zz: _F32(zz, p, k), z, stage1_ncfg)
+    cache["stage1"] = jax.jit(_stage1)
+
+
+def _ensure_accurate_residual(cache: dict, cfg: ModelConfig,
+                              evolve_backend: str, mesh, mesh_axis: str):
+    """Populate and return ``cache["F_acc"]`` (idempotent): the accurate
+    residual ``(z, params, key) -> f`` with (params, key) as TRACED
+    arguments — closing over them would bake one step's values into the
+    cached jaxprs as constants and silently pin a sweep to step 0's map."""
+    if "F_acc" not in cache:
+        if mesh is None:
+            def _F_acc(z, p, k):
+                return event_driven_map(cfg, p, k, z,
+                                        evolve_backend=evolve_backend)
+        else:
+            # (z, p, k) -> f with the ensemble GSPMD-constrained: the same
+            # traced map as ``event_driven_map``, partitioned by XLA
+            from ..parallel.sharding import make_gspmd_map_fn
+            _F_acc = make_gspmd_map_fn(cfg, mesh, mesh_axis, evolve_backend)
+        cache["F_acc"] = _F_acc
+    return cache["F_acc"]
+
+
+def staged_aot_warmup(cfg: ModelConfig, params: MapParams, key: jax.Array,
+                      Z0: jax.Array, *,
+                      tolerance: float = 1e-8,
+                      stage1_ncfg: Optional[NewtonConfig] = None,
+                      stage2_ncfg: Optional[NewtonConfig] = None,
+                      stage2_tolerance: Optional[float] = None,
+                      evolve_backend: str = "replay",
+                      jit_cache: Optional[dict] = None,
+                      mesh=None, mesh_axis: str = "real",
+                      max_workers: int = 5) -> dict:
+    """Ahead-of-time trace + PARALLEL compile of every device program a
+    :func:`newton_solve_staged` call with the same arguments will use.
+
+    The reference pays ~zero compile (``nvcc`` ahead of time,
+    ``NewtonSolver.cpp:40-161`` just runs); here a cold staged solve at
+    N=4096 paid 130-225 s of serial trace+compile across ~5 distinct
+    programs before its first Newton step (VERDICT r4 weak #3).  Tracing
+    is Python (GIL-bound — runs serially here by design), but XLA
+    compilation releases the GIL (on this machine it is a remote
+    compile-helper RPC), so the programs' compiles overlap in a thread
+    pool.
+
+    Populates ``jit_cache`` with the SAME program objects the solve will
+    look up (via the shared ``_ensure_*`` helpers), so the following
+    ``newton_solve_staged(..., jit_cache=jit_cache)`` starts fully warm:
+    ``jax.jit``'s AOT path (``.lower().compile()``) inserts the
+    executable into the function's dispatch cache (verified on this
+    JAX version — the first post-AOT call pays execution only).
+
+    Returns a breakdown dict::
+
+        {"programs": {name: {"trace_s": ..., "compile_s": ...}},
+         "trace_total_s": ..., "compile_wall_s": ..., "total_s": ...}
+
+    ``compile_wall_s`` is the wall-clock of the parallel-compile phase —
+    compare with ``sum(compile_s)`` for the overlap factor.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache = jit_cache if jit_cache is not None else {}
+    (cfg, cfg32, stage1_ncfg, stage2_ncfg, evolve_backend) = _resolve_staged(
+        cfg, tolerance, stage1_ncfg, stage2_ncfg, stage2_tolerance,
+        evolve_backend)
+    ident = (cfg, evolve_backend, stage1_ncfg, stage2_ncfg, mesh, mesh_axis)
+    if cache.setdefault("_identity", ident) != ident:
+        raise ValueError(
+            "jit_cache was built for a different (cfg, evolve_backend, "
+            "stage configs, mesh).  Use a fresh cache.")
+    dt_acc = cfg.jdtype
+    n = int(Z0.shape[0])
+    params32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    z32 = Z0.astype(jnp.float32)
+    z64 = Z0.astype(dt_acc)
+
+    _ensure_stage1_program(cache, cfg, cfg32, stage1_ncfg, mesh, mesh_axis)
+    F_acc = _ensure_accurate_residual(cache, cfg, evolve_backend, mesh,
+                                      mesh_axis)
+    sub = cache.setdefault("stage2_cache", {})
+    # the polish / host-Newton programs share the F identity contract of
+    # newton_solve_host / frozen_jacobian_polish
+    sub.setdefault("_F_identity", F_acc)
+    sub.setdefault("F", jax.jit(F_acc))
+
+    frozen = stage2_ncfg.fd_mode in ("frozen", "frozen-fwd")
+    work = [("stage1", cache["stage1"], (z32, params32, key)),
+            ("F", sub["F"], (z64, params, key))]
+    if frozen:
+        fwd = stage2_ncfg.fd_mode == "frozen-fwd"
+        sub.setdefault("_frozen_identity", ("frozen", cfg, mesh, mesh_axis))
+        _ensure_frozen_programs(sub, cfg, n, dt_acc, fwd, mesh, mesh_axis)
+        # the stencil programs consume the schedule pass's outputs: get
+        # their exact shapes/dtypes without running anything
+        sh = jax.eval_shape(sub["sched"], z64, params, key)
+        sched_d, n_ev_d, ii_d = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), sh)
+        eps_d = jnp.asarray(stage2_ncfg.fd_epsilon, dt_acc)
+        fused_key = "fused_fwd" if fwd else "fused"
+        work += [("sched", sub["sched"], (z64, params, key)),
+                 (fused_key, sub[fused_key],
+                  (z64, eps_d, sched_d, n_ev_d, ii_d, params, key)),
+                 ("score", sub["score"],
+                  (z64, sched_d, n_ev_d, ii_d, params, key))]
+    elif stage2_ncfg.fd_mode == "exact":
+        sub.setdefault("J", jax.jit(jax.jacfwd(F_acc)))
+        work.append(("J", sub["J"], (z64, params, key)))
+
+    t_all0 = _time.perf_counter()
+    out = {"programs": {}}
+    lowered = {}
+    for name, prog, args in work:
+        t0 = _time.perf_counter()
+        lowered[name] = prog.lower(*args)
+        out["programs"][name] = {"trace_s": round(
+            _time.perf_counter() - t0, 2)}
+    out["trace_total_s"] = round(sum(p["trace_s"]
+                                     for p in out["programs"].values()), 2)
+
+    def _compile(name):
+        t0 = _time.perf_counter()
+        lowered[name].compile()
+        return round(_time.perf_counter() - t0, 2)
+
+    t0 = _time.perf_counter()
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = {name: ex.submit(_compile, name) for name in lowered}
+        for name, fut in futs.items():
+            out["programs"][name]["compile_s"] = fut.result()
+    out["compile_wall_s"] = round(_time.perf_counter() - t0, 2)
+    out["total_s"] = round(_time.perf_counter() - t_all0, 2)
+    return out
+
+
 def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
                         Z0: jax.Array, *,
                         tolerance: float = 1e-8,
@@ -442,76 +704,16 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
     identity matters.
     """
     cache = jit_cache if jit_cache is not None else {}
-    # The accurate stage differentiates the map (exact mode) and solves in
-    # f64, which the raw Pallas kernel can do neither of (fp32-only, no
-    # JVP) — resolve "auto"/"pallas" at the library boundary (round-2
-    # advisor convention, cf. emap.differentiable_backend) to the replay
-    # backend: it IS the Pallas-accelerated accurate path (f32 schedule
-    # pass in the kernel + differentiable df64 replay).
-    if evolve_backend in ("auto", "pallas"):
-        evolve_backend = "replay"
-    # The event-time roots must resolve far below the residual target —
-    # crossing times feed the restriction lerp directly, so root error is
-    # residual error.  Tighten a default-config root_tol (1e-6, the
-    # reference's parameters.hpp value) to 1e-4x the target; an already
-    # tighter caller value is kept.
-    cfg = cfg.with_(root_tol=min(cfg.root_tol, 1e-4 * tolerance))
+    (cfg, cfg32, stage1_ncfg, stage2_ncfg, evolve_backend) = _resolve_staged(
+        cfg, tolerance, stage1_ncfg, stage2_ncfg, stage2_tolerance,
+        evolve_backend)
     dt_acc = cfg.jdtype
-
-    cfg32 = cfg.with_(dtype="float32",
-                      root_tol=max(cfg.root_tol, 1e-6))
     params32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
-    if stage1_ncfg is None:
-        stage1_ncfg = NewtonConfig(tolerance=tolerance, max_iterations=6,
-                                   fd_epsilon=1e-3, fd_mode="central")
-    if stage2_tolerance is None:
-        stage2_tolerance = 5.0 * tolerance
-    if stage2_ncfg is None:
-        # budget 6, but the stage stops at stage2_tolerance — from a good
-        # fp32 hand-off (~2e-5 at reference scale) that is 1-2 iterations;
-        # the slack only spends when the fp32 floor is high (small
-        # ensembles), where damped Newton needs the extra steps (a
-        # divergence cutoff here was tried and rejected: an early
-        # transient overshoot is normal from a rough hand-off, and
-        # cutting it off hands the polish a diverged iterate).
-        # Default mode "frozen-fwd" per the on-chip A/B (N=4096 R=64,
-        # warm end-to-end staged solve from cold and perturbed guesses):
-        # frozen-fwd 7.07 s (both <= 1e-8), frozen-central 8.16 s (one
-        # pass landed at 1.2e-8), exact-jacfwd 14.7 s (both <= 1e-8).
-        # The one-sided frozen stencil's ~3e-6 Jacobian accuracy is
-        # orders beyond what Newton needs, and newton_solve_frozen's
-        # backtracking + eps-refresh hardening carries the robustness
-        # duty.  Pass fd_mode="exact" for machine-grade exported
-        # Jacobians (jacfwd through the replay), or "frozen" when the
-        # Jacobian feeds eigenvalue analysis near criticality (~3e-7,
-        # central stencil).
-        #
-        # The frozen modes run the df64 REPLAY unconditionally
-        # (newton_solve_frozen's whole design is the frozen-schedule
-        # replay), so an explicit evolve_backend="xla" — the native/
-        # emulated-f64 oracle path — must not be silently rerouted
-        # through them: its stage 2 defaults to exact jacfwd on the
-        # requested backend instead.
-        mode = "frozen-fwd" if evolve_backend == "replay" else "exact"
-        stage2_ncfg = NewtonConfig(tolerance=stage2_tolerance,
-                                   max_iterations=6, fd_mode=mode,
-                                   fd_epsilon=1e-6)
 
-    if (stage2_ncfg.fd_mode in ("frozen", "frozen-fwd")
-            and evolve_backend != "replay"):
-        raise ValueError(
-            f"stage2_ncfg.fd_mode={stage2_ncfg.fd_mode!r} runs the df64 "
-            f"replay unconditionally, but evolve_backend="
-            f"{evolve_backend!r} was requested — stage 2 would converge "
-            "on the replay residual while the polish and the final "
-            "converged flag use the requested backend's (they differ by "
-            "the ~1e-8 replay-vs-f64 delta).  Use evolve_backend='replay' "
-            "with the frozen modes, or fd_mode='exact'/'central' with "
-            "this backend.")
-
-    # The cached programs bake in everything below — a cache built under a
-    # different identity would silently solve the wrong problem (e.g. a
-    # tightened `tolerance` changes root_tol inside cfg).  Fail loudly.
+    # The cached programs bake in everything resolved above — a cache built
+    # under a different identity would silently solve the wrong problem
+    # (e.g. a tightened `tolerance` changes root_tol inside cfg).  Fail
+    # loudly.
     ident = (cfg, evolve_backend, stage1_ncfg, stage2_ncfg, mesh, mesh_axis)
     if cache.setdefault("_identity", ident) != ident:
         raise ValueError(
@@ -519,47 +721,7 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
             "stage configs, mesh) — including the root_tol derived from "
             "`tolerance`.  Use a fresh cache for a different setup.")
 
-    if mesh is not None:
-        # (z, p, k) -> f with the ensemble GSPMD-constrained: the same
-        # traced map as ``event_driven_map``, partitioned by XLA
-        from ..parallel.sharding import make_gspmd_map_fn
-
-    if "stage1" not in cache:
-        from ..model import emap as _emap
-        from ..model.restrict import masked_ensemble_mean
-
-        def _draw32(p32, k):
-            # ONE stochastic realisation across every stage (the docstring
-            # contract): the heterogeneity draw happens at the ACCURATE
-            # dtype and is cast to f32.  jax.random.normal(key, dtype=f32)
-            # is a different bit stream than the f64 draw from the same
-            # key, so sampling per-stage made the fp32 stage solve a
-            # DIFFERENT realisation of the map at sigma > 0 — an O(MC
-            # difference) hand-off error instead of O(f32 rounding)
-            # (round-3 review finding).
-            p_acc = jax.tree.map(lambda x: jnp.asarray(x, dt_acc), p32)
-            return _emap.sample_beta(cfg, p_acc, k).astype(jnp.float32)
-
-        use_pal = (mesh is None
-                   and _emap.select_pallas_evolve(cfg32, "auto"))
-        if mesh is None:
-            cst32 = None
-        else:
-            from ..parallel.sharding import ensemble_constraint
-            cst32 = ensemble_constraint(mesh, mesh_axis)
-
-        def _F32(z, p, k):
-            beta = _draw32(p, k)
-            if cst32 is not None:
-                beta = cst32(beta)
-            U, _, _, _, res, positions = _emap.run_pipeline(
-                cfg32, p, z, beta, use_pallas=use_pal)
-            u_mean, _ = masked_ensemble_mean(positions, res.accept)
-            return _emap.assemble_residual(cfg32, U, u_mean)
-
-        def _stage1(z, p, k):
-            return newton_solve(lambda zz: _F32(zz, p, k), z, stage1_ncfg)
-        cache["stage1"] = jax.jit(_stage1)
+    _ensure_stage1_program(cache, cfg, cfg32, stage1_ncfg, mesh, mesh_axis)
     r32 = cache["stage1"](Z0.astype(jnp.float32), params32, key)
     jax.block_until_ready(r32.solution)
     # fp32 FD Newton can blow up on rough small-ensemble landscapes; a
@@ -576,18 +738,8 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
         handoff = Z0.astype(dt_acc)
         stage1_iters = 0
 
-    # The accurate residual takes (params, key) as traced arguments —
-    # closing over them would bake this step's values into the cached
-    # jaxprs as constants and silently pin a sweep to step 0's map.
-    if "F_acc" not in cache:
-        if mesh is None:
-            def _F_acc(z, p, k):
-                return event_driven_map(cfg, p, k, z,
-                                        evolve_backend=evolve_backend)
-        else:
-            _F_acc = make_gspmd_map_fn(cfg, mesh, mesh_axis, evolve_backend)
-        cache["F_acc"] = _F_acc
-    F_acc = cache["F_acc"]
+    F_acc = _ensure_accurate_residual(cache, cfg, evolve_backend, mesh,
+                                      mesh_axis)
     sub = cache.setdefault("stage2_cache", {})
 
     def accurate_solve(x_start):

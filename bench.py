@@ -74,8 +74,45 @@ def _chained(op, pts0, H, W):
     return make
 
 
-def bench_bilinear2d():
-    """Config 2: 64 x 256x256 grids, 1M scattered fp32 queries."""
+def tunnel_probe():
+    """Tunnel-health probe (VERDICT r4 #1b): dispatch+readback latency and
+    a FIXED reference kernel's per-iteration device time, recorded at bench
+    start AND end so a slow judged stage is attributable in-record — the
+    r04 headline spread (415-477 Mq/s across same-day runs of identical
+    code) had no in-record way to distinguish tunnel drift from a kernel
+    regression.  The reference kernel (chained 512x512 f32 matmuls) touches
+    neither this framework's kernels nor its configs, so its drift is pure
+    environment."""
+    x = jax.random.normal(jax.random.PRNGKey(42), (512, 512), jnp.float32)
+    # dispatch+readback RTT: tiny op, host float() sync
+    f_tiny = jax.jit(lambda v: jnp.sum(v[:8, :8]))
+    float(f_tiny(x))  # warm
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f_tiny(x))
+        rtts.append(time.perf_counter() - t0)
+
+    def make(K):
+        @jax.jit
+        def run():
+            def body(_, m):
+                mm = m @ x
+                return mm / (1.0 + jnp.abs(mm[0, 0]))   # data dependence
+            return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+        return run
+
+    s = _slope(make, k_lo=2, k_hi=34, reps=5, stat=np.min)
+    return {"rtt_ms": round(min(rtts) * 1e3, 1),
+            "matmul512_us": round(s * 1e6, 1)}
+
+
+def bench_bilinear2d(measure_xla: bool = True):
+    """Config 2: 64 x 256x256 grids, 1M scattered fp32 queries.
+
+    ``measure_xla=False`` re-measures only the judged Pallas slope
+    (variance-control passes, VERDICT r4 #1a — the XLA baseline is not
+    tunnel-sensitive enough to justify re-paying its ~12 s)."""
     from armadillocudalinearinterpolation_tpu.ops import interp, interp_pallas
 
     B, H, W = 64, 256, 256
@@ -97,7 +134,7 @@ def bench_bilinear2d():
         k_lo=1, k_hi=33, reps=7, stat=np.min)
     s_xla = _slope(chained(
         lambda p: interp.bilinear_batched(p, grids)), k_lo=1, k_hi=2, reps=2,
-        stat=np.min)
+        stat=np.min) if measure_xla else float("nan")
     qps = B * Q / s_pallas
     return qps, s_pallas, s_xla
 

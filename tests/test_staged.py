@@ -392,3 +392,45 @@ def test_scored_winner_nan_fill_retries_like_ev():
     # no NaN ever entered the recorded history (the loop state stayed sane)
     hist = np.asarray(res.residual_history)
     assert np.isfinite(hist[: int(res.iterations) + 1]).all()
+
+
+def test_staged_aot_warmup_matches_and_prewarms():
+    """staged_aot_warmup must (a) report a trace/compile breakdown for
+    every program of the default frozen-fwd recipe, (b) leave the cache in
+    a state the subsequent newton_solve_staged accepts (same identity) and
+    reuses, and (c) not change the solve's result vs an un-warmed cache."""
+    from armadillocudalinearinterpolation_tpu import staged_aot_warmup
+
+    cfg = ModelConfig(n_neurons=256, n_real=8, dtype="float64",
+                      root_tol=1e-12, max_events=1024)
+    params = MapParams.create(13.0589, 0.1, dtype="float64")
+    key = jax.random.PRNGKey(0)
+
+    cache = {}
+    bd = staged_aot_warmup(cfg, params, key, Z0, tolerance=1e-7,
+                           jit_cache=cache)
+    assert set(bd["programs"]) == {"stage1", "F", "sched", "fused_fwd",
+                                   "score"}
+    for p in bd["programs"].values():
+        assert p["trace_s"] >= 0.0 and p["compile_s"] >= 0.0
+    assert bd["compile_wall_s"] <= sum(
+        p["compile_s"] for p in bd["programs"].values()) + 1.0
+    # the warmed cache must be accepted by the solve (identity match) and
+    # the programs must be the SAME objects (cache hits, not rebuilds)
+    progs_before = (cache["stage1"], cache["stage2_cache"]["F"],
+                    cache["stage2_cache"]["sched"],
+                    cache["stage2_cache"]["fused_fwd"])
+    res_w = newton_solve_staged(cfg, params, key, Z0, tolerance=1e-7,
+                                jit_cache=cache)
+    progs_after = (cache["stage1"], cache["stage2_cache"]["F"],
+                   cache["stage2_cache"]["sched"],
+                   cache["stage2_cache"]["fused_fwd"])
+    assert all(a is b for a, b in zip(progs_before, progs_after))
+    res_u = newton_solve_staged(cfg, params, key, Z0, tolerance=1e-7)
+    np.testing.assert_allclose(np.asarray(res_w.solution),
+                               np.asarray(res_u.solution), atol=1e-12)
+    # a warmup against a DIFFERENT setup must be rejected like any other
+    # cache-identity mismatch
+    with pytest.raises(ValueError, match="different"):
+        staged_aot_warmup(cfg, params, key, Z0, tolerance=1e-9,
+                          jit_cache=cache)
