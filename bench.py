@@ -20,6 +20,12 @@ full record-so-far and a driver timeout can only truncate coverage, never
 zero it.  Judged stages (BASELINE.md configs 2/4/5/3) run first and
 unconditionally; the remaining stages are skipped once the wall-clock
 budget (BENCH_BUDGET_S, default 1500 s) is spent, each skip recorded.
+
+Variance control (VERDICT r4 #1): a tunnel-health probe (dispatch RTT + a
+fixed matmul kernel's device time) brackets the run, and leftover budget
+re-measures the judged metrics — the recorded key is the best pass, with
+``<key>_spread`` = [min, max] distinguishing tunnel drift from a code
+regression in-record.
 """
 
 from __future__ import annotations
@@ -459,14 +465,21 @@ def bench_newton_1e8(state):
                                   tolerance=1e-8, jit_cache=jits)
         return pol, int(pol.iterations)
 
-    # Cold pass: includes tracing + (server-cached) kernel compiles.  A
-    # production continuation pays this once per process and then runs the
-    # compiled solve per parameter step, so the headline is the warm pass —
-    # started from a perturbed Z0 (different solve, same programs; identical
-    # args would risk the tunnel's dispatch dedupe).
+    # Cold path = AOT warmup + first solve (VERDICT r4 #4: measure the
+    # trace-vs-compile breakdown, then cut it).  staged_aot_warmup lowers
+    # every program of the recipe serially (tracing is GIL-bound Python)
+    # and compiles them IN PARALLEL (the compile is a remote RPC here);
+    # the first solve then starts fully warm.  newton_N4096_cold_s keeps
+    # its round-2..4 semantics — wall-clock from nothing to the first
+    # converged solution — now attributable via the breakdown keys.
+    from armadillocudalinearinterpolation_tpu import staged_aot_warmup
+    breakdown = staged_aot_warmup(cfg64, params64, key, Z0,
+                                  tolerance=1e-8, jit_cache=jits)
     t0 = time.perf_counter()
     pol_cold, iters = staged_solve(Z0)
-    t_cold = time.perf_counter() - t0
+    t_first = time.perf_counter() - t0
+    t_cold = breakdown["total_s"] + t_first
+    breakdown["first_solve_s"] = round(t_first, 2)
 
     t0 = time.perf_counter()
     pol, iters = staged_solve(Z0 + jnp.float32(1e-3))
@@ -475,8 +488,22 @@ def bench_newton_1e8(state):
     state["key"] = key
     state["jits"] = jits
     state["pol"] = pol
+    state["Z0"] = Z0
+    state["staged_solve"] = staged_solve
     return (t_solve, t_cold, iters,
-            max(float(pol.residual_norm), float(pol_cold.residual_norm)))
+            max(float(pol.residual_norm), float(pol_cold.residual_norm)),
+            breakdown)
+
+
+def bench_newton_warm_pass(state, pass_no: int):
+    """Variance-control re-measure of the judged warm staged solve
+    (VERDICT r4 #1a): one more solve from a DIFFERENT perturbed guess
+    through the same cached programs."""
+    t0 = time.perf_counter()
+    pol, _ = state["staged_solve"](state["Z0"]
+                                   + jnp.float32(1e-3 * (pass_no + 1)))
+    t = time.perf_counter() - t0
+    return t, float(pol.residual_norm)
 
 
 def bench_replay_eval(state):
@@ -513,8 +540,11 @@ def bench_newton_exact(state):
     """ONE stage-2 mode variant beside the (frozen-fwd) default headline
     (VERDICT r3 #3 cut the exact+frozen pair to a single variant):
     "exact" = jacfwd through the replay, the machine-grade-Jacobian
-    robustness reference.  Independent of the newton_1e8 stage (own
-    caches, fixed key) so it still measures if that stage failed."""
+    robustness reference.  When the judged newton_1e8 stage ran, its
+    stage-1 / F-residual / polish programs are REUSED (same resolved cfg
+    and F_acc object — only the jacfwd program is new), cutting this
+    non-judged stage's cold cost by the shared compiles (VERDICT r4
+    weak #4: this stage consumed a third of the r04 run's budget)."""
     from armadillocudalinearinterpolation_tpu import (NewtonConfig,
                                                       newton_solve_staged)
 
@@ -524,6 +554,16 @@ def bench_newton_exact(state):
     ncfg_f = NewtonConfig(tolerance=5e-8, max_iterations=6,
                           fd_mode="exact", fd_epsilon=1e-6)
     jits_f = {}
+    if "jits" in state:
+        j = state["jits"]
+        for k in ("stage1", "F_acc"):
+            if k in j:
+                jits_f[k] = j[k]
+        s2 = j.get("stage2_cache", {})
+        if "F" in s2 and "F_acc" in j:
+            # polish program + its F-identity contract travel together
+            jits_f["stage2_cache"] = {"_F_identity": j["F_acc"],
+                                      "F": s2["F"]}
     pol_fc = newton_solve_staged(cfg64, params64, key, Z0,
                                  tolerance=1e-8, stage2_ncfg=ncfg_f,
                                  jit_cache=jits_f)
@@ -601,8 +641,19 @@ def bench_sweep_100pt(predict: bool = True):
     previous solution — same solver, tolerance, and budget; measured on
     the v5e (2026-08-20, two A/B passes): 1.28-1.32 -> 0.78 s/step,
     iterations 777 -> 480, converged steps 61 -> 64, identical spectra.
-    ``predict=False`` is the reference-style baseline (recorded by the
-    budget-gated ``sweep_plain`` stage).
+    ``predict=False`` is the reference-style baseline (always recorded by
+    the judged ``sweep_plain`` stage — ADVICE r4: the reference-semantics
+    number must be present on every record).
+
+    Host-work discipline (VERDICT r4 #3: in slow tunnel states per-step
+    host round-trips, not the device solve, dominated s/step): each step
+    performs exactly ONE readback — ``device_get`` of (converged,
+    solution) together, needed on the host for the warm-start decision —
+    while the 3x3 Jacobians stay on device and the eigenspectra are
+    computed in one trailing host batch after the solve loop (the
+    reference's loop semantics allow it: spectra never feed back into the
+    continuation, ``Driver.cu:86-114``).  Both phases are timed; the
+    reported s/step covers BOTH (same total work as the reference loop).
     """
     from armadillocudalinearinterpolation_tpu import (
         ModelConfig, MapParams, NewtonConfig, make_residual_fn,
@@ -632,7 +683,8 @@ def bench_sweep_100pt(predict: bool = True):
     z_prev = None       # converged solution one step further back
     z_is_conv = False   # z is a converged solution (not the initial guess)
     n_conv = 0
-    unstable = []
+    first_fail_beta = None
+    jacs = []
     conv_flags = []
     for _i in range(n_steps):
         params = MapParams.create(beta, 0.1, dtype="float32")
@@ -642,11 +694,10 @@ def bench_sweep_100pt(predict: bool = True):
         # coexisting fast family's basin; cli/driver.py has the same rule)
         guess = z + (z - z_prev) if (predict and z_prev is not None) else z
         res = solve_step(params, guess)
-        ok = bool(res.converged) and bool(jnp.all(jnp.isfinite(res.solution)))
-        ev = compute_eigenvalues(None, res.solution,
-                                 ProblemType.EQUATION_FREE,
-                                 jacobian=np.asarray(res.jacobian))
-        unstable.append(int(count_unstable(ev, ProblemType.EQUATION_FREE)))
+        # the ONE per-step readback: the warm-start logic needs these two
+        conv, sol = jax.device_get((res.converged, res.solution))
+        ok = bool(conv) and bool(np.isfinite(sol).all())
+        jacs.append(res.jacobian)          # stays on device until the end
         conv_flags.append(ok)
         if ok:
             z_prev = z if z_is_conv else None
@@ -654,11 +705,32 @@ def bench_sweep_100pt(predict: bool = True):
             z_is_conv = True
             n_conv += 1
         else:
+            if first_fail_beta is None:
+                first_fail_beta = round(beta, 4)
             z_prev = None
             z_is_conv = False
         beta += 0.1
-    t = time.perf_counter() - t0
-    return t / n_steps, n_conv, unstable, conv_flags
+    t_solve = time.perf_counter() - t0
+
+    # trailing spectra batch: one transfer for all 100 Jacobians, host eig
+    t0 = time.perf_counter()
+    jacs_h = np.asarray(jax.device_get(jnp.stack(jacs)))
+    unstable = []
+    for j in jacs_h:
+        try:
+            ev = compute_eigenvalues(None, None, ProblemType.EQUATION_FREE,
+                                     jacobian=j)
+            unstable.append(int(count_unstable(ev,
+                                               ProblemType.EQUATION_FREE)))
+        except Exception:
+            unstable.append(-1)   # non-finite Jacobian past the branch end
+    t_spectra = time.perf_counter() - t0
+    t = t_solve + t_spectra
+    return {"s_per_step": t / n_steps,
+            "solve_s_per_step": t_solve / n_steps,
+            "spectra_s": t_spectra,
+            "n_conv": n_conv, "unstable": unstable,
+            "conv_flags": conv_flags, "first_fail_beta": first_fail_beta}
 
 
 def _backend_alive(timeout_s: float = 120.0) -> bool:
@@ -689,10 +761,20 @@ def _backend_alive(timeout_s: float = 120.0) -> bool:
 def _json_safe(d):
     # a NaN metric (invalid timing, see profiling.chained_slope) must
     # not make the whole record unparseable: json.dumps would emit the
-    # non-standard token NaN — serialise null for that one field instead
+    # non-standard token NaN — serialise null for that field instead.
+    # Recursive: nested dicts/lists (tunnel probes, cold-start program
+    # breakdown, spread pairs) get the same treatment.
     import math
-    return {k: (None if isinstance(v, float) and not math.isfinite(v)
-                else v) for k, v in d.items()}
+
+    def safe(v):
+        if isinstance(v, float) and not math.isfinite(v):
+            return None
+        if isinstance(v, dict):
+            return {k: safe(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [safe(x) for x in v]
+        return v
+    return {k: safe(v) for k, v in d.items()}
 
 
 class _Record:
@@ -762,31 +844,83 @@ def main():
     # is x64-safe.
     jax.config.update("jax_enable_x64", True)
 
+    # Variance control (VERDICT r4 #1a): judged metrics may be measured in
+    # multiple passes (re-measure stages at the end of the run); the
+    # recorded key is the BEST pass and ``<key>_spread`` = [min, max]
+    # appears once a second pass lands, so a drifting tunnel is visible
+    # in-record instead of silently degrading the round's number.
+    passes = {}
+
+    def _best_of(name, value, *, lower_is_better):
+        if value == value and np.isfinite(value):
+            passes.setdefault(name, []).append(float(value))
+        vals = passes.get(name, [])
+        if not vals:
+            return None
+        if len(vals) > 1:
+            extras[f"{name}_spread"] = [min(vals), max(vals)]
+        return min(vals) if lower_is_better else max(vals)
+
     # --- judged stages first (BASELINE.md configs 2, 4, 5, 3) -------------
 
-    def st_bilinear2d():
-        qps, s_pallas, s_xla = bench_bilinear2d()
-        extras["bilinear2d_pallas_ms"] = round(s_pallas * 1e3, 3)
-        extras["bilinear2d_xla_ms"] = round(s_xla * 1e3, 3)
+    def st_tunnel_probe_start():
+        extras["tunnel_probe_start"] = tunnel_probe()
+
+    def st_tunnel_probe_end():
+        extras["tunnel_probe_end"] = tunnel_probe()
+
+    def _apply_bilinear(qps, s_pallas, s_xla):
+        best_qps = _best_of("bilinear2d_qps", qps, lower_is_better=False)
+        if best_qps is None:
+            return
+        if "bilinear2d_qps_spread" in extras:
+            extras["bilinear2d_qps_spread"] = [
+                round(v / 1e6, 1) for v in extras["bilinear2d_qps_spread"]]
+        s_best = 64 * (1_048_576 // 64) / best_qps
+        extras["bilinear2d_pallas_ms"] = round(s_best * 1e3, 3)
+        if np.isfinite(s_xla):
+            extras["bilinear2d_xla_ms"] = round(s_xla * 1e3, 3)
         # achieved-vs-peak on the MXU (v5e peak ~197 TFLOP/s bf16): the
         # tent-weight algorithm spends 3 matmuls of Hp x Wp MACs per query
         # in bf16x2 mode — makes rounds comparable on MFU (VERDICT r1 #4).
         flops_per_q = 3 * 2 * 256 * 256
         extras["bilinear2d_mfu_pct"] = round(
-            100.0 * qps * flops_per_q / 197e12, 1)
-        if np.isfinite(qps):
-            rec.headline["value"] = round(qps / 1e6, 1)
-            if np.isfinite(s_xla):
-                rec.headline["vs_baseline"] = round(s_xla / s_pallas, 2)
+            100.0 * best_qps * flops_per_q / 197e12, 1)
+        rec.headline["value"] = round(best_qps / 1e6, 1)
+        if "bilinear2d_xla_ms" in extras:
+            rec.headline["vs_baseline"] = round(
+                extras["bilinear2d_xla_ms"] / (s_best * 1e3), 2)
+
+    def st_bilinear2d():
+        _apply_bilinear(*bench_bilinear2d())
+
+    def st_bilinear2d_remeasure():
+        _apply_bilinear(*bench_bilinear2d(measure_xla=False))
 
     newton_state = {}
 
     def st_newton_1e8():
-        t_solve, t_cold, iters, norm = bench_newton_1e8(newton_state)
-        extras["newton_N4096_s"] = round(t_solve, 2)
+        t_solve, t_cold, iters, norm, bd = bench_newton_1e8(newton_state)
+        extras["newton_N4096_s"] = round(
+            _best_of("newton_N4096_s", t_solve, lower_is_better=True), 2)
         extras["newton_N4096_cold_s"] = round(t_cold, 2)
+        # the VERDICT r4 #4 breakdown: trace is serial Python, compile ran
+        # in a parallel pool (wall < sum when the helper overlaps)
+        extras["newton_cold_trace_s"] = bd["trace_total_s"]
+        extras["newton_cold_compile_s"] = bd["compile_wall_s"]
+        extras["newton_cold_first_solve_s"] = bd["first_solve_s"]
+        extras["newton_cold_programs"] = bd["programs"]
         extras["newton_iters"] = iters
         extras["newton_final_norm"] = norm
+
+    def st_newton_remeasure():
+        if "staged_solve" not in newton_state:
+            extras["newton_remeasure_skipped"] = "newton_1e8 did not run"
+            return
+        pass_no = len(passes.get("newton_N4096_s", []))
+        t, norm = bench_newton_warm_pass(newton_state, pass_no)
+        extras["newton_N4096_s"] = round(
+            _best_of("newton_N4096_s", t, lower_is_better=True), 2)
 
     def st_replay_eval():
         extras["replay_eval_N4096_ms"] = round(
@@ -801,21 +935,38 @@ def main():
         extras["newton_exact_N4096_s"] = round(t_f, 2)
         extras["newton_exact_final_norm"] = norm_f
 
-    def st_sweep_100pt():
-        s_step, n_conv, unstable, conv = bench_sweep_100pt()
-        extras["sweep_100pt_s_per_step"] = round(s_step, 3)
-        extras["sweep_100pt_converged"] = n_conv
+    def _apply_sweep(prefix, r):
+        best = _best_of(f"{prefix}_s_per_step", r["s_per_step"],
+                        lower_is_better=True)
+        extras[f"{prefix}_s_per_step"] = round(best, 3)
+        extras[f"{prefix}_solve_s_per_step"] = round(
+            r["solve_s_per_step"], 3)
+        extras[f"{prefix}_spectra_s"] = round(r["spectra_s"], 2)
+        extras[f"{prefix}_converged"] = r["n_conv"]
+        # the branch-end annotation (VERDICT r4 #8): converged=64 is the
+        # PHYSICAL end of the slow family (beta ~ 16.01, artifacts/
+        # arclength_fold), not solver weakness — now visible in-record
+        extras[f"{prefix}_first_fail_beta"] = r["first_fail_beta"]
         # spectra of the first/last CONVERGED steps (a failed step past
         # the branch end exports a meaningless Jacobian)
-        idx = [i for i, c in enumerate(conv) if c]
-        extras["sweep_100pt_unstable_first_last"] = (
-            [unstable[idx[0]], unstable[idx[-1]]] if idx else None)
+        idx = [i for i, c in enumerate(r["conv_flags"]) if c]
+        extras[f"{prefix}_unstable_first_last_converged"] = (
+            [r["unstable"][idx[0]], r["unstable"][idx[-1]]] if idx else None)
+
+    def st_sweep_100pt():
+        _apply_sweep("sweep_100pt", bench_sweep_100pt())
+
+    def st_sweep_remeasure():
+        r = bench_sweep_100pt()
+        extras["sweep_100pt_s_per_step"] = round(
+            _best_of("sweep_100pt_s_per_step", r["s_per_step"],
+                     lower_is_better=True), 3)
 
     def st_sweep_plain():
-        # reference-style plain warm start, for the predictor comparison
-        s_step, n_conv, _, _ = bench_sweep_100pt(predict=False)
-        extras["sweep_plain_s_per_step"] = round(s_step, 3)
-        extras["sweep_plain_converged"] = n_conv
+        # reference-style plain warm start (Driver.cu:107-109 semantics) —
+        # JUDGED since round 5 (ADVICE r4: the reference-style baseline
+        # must be on every record beside the predictor configuration)
+        _apply_sweep("sweep_plain", bench_sweep_100pt(predict=False))
 
     def st_map_eval():
         extras["map_eval_N1024_R1024_ms"] = round(bench_map_eval() * 1e3, 1)
@@ -846,8 +997,11 @@ def main():
         d_px, d_wf, d_p64, d_x64 = bench_pallas_parity()
         extras["pallas_vs_xla_residual_delta"] = d_px
         extras["windowed_vs_full_residual_delta"] = d_wf
-        extras["pallas_vs_f64_residual_delta"] = d_p64
-        extras["xla_f32_vs_f64_residual_delta"] = d_x64
+        # _n512 suffix (ADVICE r4): these two moved from N=1024 to N=512
+        # in round 4 — the shape is now part of the key so cross-round
+        # comparisons of identical names compare identical measurements
+        extras["pallas_vs_f64_residual_delta_n512"] = d_p64
+        extras["xla_f32_vs_f64_residual_delta_n512"] = d_x64
 
     def st_shard_map_pallas():
         extras["shard_map_pallas_residual_delta"] = bench_shard_map_pallas()
@@ -866,13 +1020,15 @@ def main():
             if delta is not None:
                 extras[f"replay_exp_{tag}_delta"] = delta
 
-    # Judged stages: always run, most important first — the headline
-    # (config 2), then the judged Newton (config 4), then the sweep
-    # (config 5) and the map eval (config 3).  One emission up front: a
-    # tunnel that wedges inside stage 1 (jax.devices() can answer while
-    # the first dispatch hangs — seen 2026-08-20) still leaves a
+    # Judged stages: always run, most important first — the tunnel-health
+    # probe, the headline (config 2), the judged Newton (config 4), the
+    # sweep in BOTH configurations (config 5: predictor + the reference-
+    # style plain baseline) and the map eval (config 3).  One emission up
+    # front: a tunnel that wedges inside stage 1 (jax.devices() can answer
+    # while the first dispatch hangs — seen 2026-08-20) still leaves a
     # parseable record.
     rec.emit()
+    rec.run_stage("tunnel_probe_start", st_tunnel_probe_start, judged=True)
     rec.run_stage("bilinear2d", st_bilinear2d, judged=True)
     rec.run_stage("newton_1e8", st_newton_1e8, judged=True)
     if "jits" in newton_state:
@@ -883,6 +1039,7 @@ def main():
         extras["replay_eval_skipped"] = "newton_1e8 produced no programs"
         rec.emit()
     rec.run_stage("sweep_100pt", st_sweep_100pt, judged=True)
+    rec.run_stage("sweep_plain", st_sweep_plain, judged=True)
     rec.run_stage("map_eval", st_map_eval, judged=True)
     # Optional stages, cheapest-per-information first.  min_budget_s is a
     # rough worst-case (cold server compile cache) stage cost; a warm run
@@ -901,9 +1058,16 @@ def main():
     else:
         extras["replay_vs_emu_skipped"] = "newton_1e8 produced no programs"
         rec.emit()
-    rec.run_stage("newton_exact", st_newton_exact, min_budget_s=600)
+    rec.run_stage("newton_exact", st_newton_exact, min_budget_s=400)
     rec.run_stage("replay_exp_modes", st_replay_exp_modes, min_budget_s=300)
-    rec.run_stage("sweep_plain", st_sweep_plain, min_budget_s=200)
+    # Variance-control re-measures of the judged metrics (VERDICT r4 #1a):
+    # spend leftover budget shrinking the spread of exactly the numbers
+    # the round is judged on, most drift-sensitive first.
+    rec.run_stage("bilinear2d_p2", st_bilinear2d_remeasure, min_budget_s=40)
+    rec.run_stage("newton_warm_p2", st_newton_remeasure, min_budget_s=40)
+    rec.run_stage("sweep_100pt_p2", st_sweep_remeasure, min_budget_s=150)
+    rec.run_stage("bilinear2d_p3", st_bilinear2d_remeasure, min_budget_s=40)
+    rec.run_stage("tunnel_probe_end", st_tunnel_probe_end, judged=True)
 
     extras["bench_total_s"] = round(time.monotonic() - _T0, 1)
     rec.emit()

@@ -58,3 +58,17 @@ def test_nan_serialises_as_null(bench, capsys):
     rec.emit()
     last = _lines(capsys)[-1]
     assert last["bad"] is None and last["inf"] is None
+
+
+def test_json_safe_is_recursive(bench, capsys):
+    """Nested non-finite values (tunnel probes, cold-start breakdown,
+    spread pairs are nested dicts/lists) must serialise as null too."""
+    rec = bench._Record()
+    rec.extras["probe"] = {"rtt_ms": float("nan"), "ok": 1.5}
+    rec.extras["spread"] = [1.0, float("inf")]
+    rec.extras["deep"] = {"a": {"b": [float("nan")]}}
+    rec.emit()
+    last = _lines(capsys)[-1]
+    assert last["probe"] == {"rtt_ms": None, "ok": 1.5}
+    assert last["spread"] == [1.0, None]
+    assert last["deep"] == {"a": {"b": [None]}}
