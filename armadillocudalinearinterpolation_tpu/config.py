@@ -132,6 +132,29 @@ class ModelConfig:
     # intrinsic to differentiating the df64 carry chains, not a loop-form
     # artifact; the knob stays as the recorded A/B.
     replay_loop: str = "while"
+    # Tangent arithmetic for forward-mode differentiation THROUGH the df64
+    # replay (model/replay.py; ROADMAP 1b / VERDICT r4 #5).  The ~14x
+    # jacfwd-vs-forward cost of the "df64" mode is intrinsic to tangent
+    # chains through the error-free transformations: every df64 add/mul
+    # splits into 6-20 f32 ops and each tangent pays all of them.  But the
+    # TANGENT needs no df64 — Jacobian consumers (Newton directions,
+    # bordered continuation systems, eigen-spectra) use a handful of
+    # digits, while only the PRIMAL residual must hold the 1e-9 contract.
+    #   "df64" — differentiate the df64 scan itself: machine-grade
+    #            tangents (the pair arithmetic's ~2^-47), ~14x forward.
+    #   "f32"  — custom JVP at the whole-replay granularity: the primal
+    #            stays the bitwise-identical df64 replay; tangents
+    #            propagate through a plain-f32 re-evolution of the SAME
+    #            schedule (IFT tangent at each scheduled root via
+    #            events.event_time, closed-form advance in f32).
+    #            Jacobian agreement vs "df64" measured at ~1.5e-4
+    #            relative (N=512 R=8 sigma=0.1 f64 oracle,
+    #            tests/test_replay.py) — set by the f32 trajectory's
+    #            drift from the df64 one, ample for Newton directions
+    #            and bordered continuation systems; keep "df64" when the
+    #            Jacobian itself is the deliverable (spectra near a
+    #            stability boundary at < 1e-4 margins).
+    replay_jvp: str = "df64"
     # Warm-started event-time Newton in the Pallas evolve kernel
     # (ROADMAP/VERDICT r3 #6): seed each event's per-lane root-find from
     # the previous event's root shifted by the elapsed dt, minus
@@ -195,6 +218,9 @@ class ModelConfig:
         if self.replay_loop not in ("while", "scan"):
             raise ValueError("replay_loop must be 'while' or 'scan'; got "
                              f"{self.replay_loop!r}")
+        if self.replay_jvp not in ("df64", "f32"):
+            raise ValueError("replay_jvp must be 'df64' or 'f32'; got "
+                             f"{self.replay_jvp!r}")
         if self.n_neurons < 256:
             import warnings
             warnings.warn(
