@@ -95,6 +95,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "vmapped callers); small = exp_small hardcoded "
                         "(exact-or-rejected; fastest at small sigma); "
                         "fast = full exp hardcoded (exact, no cond)")
+    p.add_argument("--replay-jvp", choices=["df64", "f32"], default="df64",
+                   help="tangent arithmetic for forward-mode (fd-mode "
+                        "exact / arclength) differentiation through the "
+                        "df64 replay (ModelConfig.replay_jvp): df64 = "
+                        "machine-grade tangents (default; required grade "
+                        "for --track-fold, whose system solves J.v = 0); "
+                        "f32 = plain-f32 tangent re-evolution, ~3.3x "
+                        "cheaper per Jacobian at ~1e-4..1e-3 relative "
+                        "tangent accuracy")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="shard solves over an N-device mesh (realisation "
                         "axis, GSPMD — same traced programs, identical "
@@ -255,6 +264,7 @@ def _run(args) -> int:
                       n_spikes=args.spikes, t_horizon=args.horizon,
                       evolve_window=args.evolve_window, dtype=args.dtype,
                       replay_exp_mode=args.replay_exp_mode,
+                      replay_jvp=args.replay_jvp,
                       **({"max_events": args.max_events}
                          if args.max_events is not None else {}),
                       **({"root_tol": args.root_tol}
@@ -589,11 +599,21 @@ def run_fold(args, cfg, ncfg, key, Z, beta) -> int:
     # the fold system jacfwds the map, so resolve the user's backend to a
     # differentiable one ("replay" passes through — the fast f64-grade path)
     backend = differentiable_backend(args.evolve_backend)
+    if args.replay_jvp == "f32":
+        # J.v is a RESIDUAL ROW of the Moore-Spence system: f32-grade
+        # tangents displace the computed fold by O(tangent error), not
+        # just slow convergence.  Warn rather than refuse — a ~1e-4-grade
+        # fold location is a legitimate scouting tradeoff.
+        print("warning: --track-fold with --replay-jvp f32 solves "
+              "J.v = 0 with ~1e-4..1e-3-grade tangents; the fold "
+              "location inherits that error (use df64 for publication-"
+              "grade curves)", file=sys.stderr)
     # initial null direction from the exact Jacobian at the near-fold guess
     F = make_residual_fn(cfg, MapParams.create(beta, args.sigma_values[0],
                                                dtype=args.dtype),
                          key, evolve_backend=backend)
-    v0 = null_direction(jax.jacfwd(F)(Z))
+    from ..solvers.newton import jacfwd_cols
+    v0 = null_direction(jacfwd_cols(F)(Z))
 
     acc = []
 

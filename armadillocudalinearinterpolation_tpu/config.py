@@ -133,27 +133,37 @@ class ModelConfig:
     # artifact; the knob stays as the recorded A/B.
     replay_loop: str = "while"
     # Tangent arithmetic for forward-mode differentiation THROUGH the df64
-    # replay (model/replay.py; ROADMAP 1b / VERDICT r4 #5).  The ~14x
-    # jacfwd-vs-forward cost of the "df64" mode is intrinsic to tangent
-    # chains through the error-free transformations: every df64 add/mul
-    # splits into 6-20 f32 ops and each tangent pays all of them.  But the
-    # TANGENT needs no df64 — Jacobian consumers (Newton directions,
-    # bordered continuation systems, eigen-spectra) use a handful of
-    # digits, while only the PRIMAL residual must hold the 1e-9 contract.
+    # replay (model/replay.py; ROADMAP 1b / VERDICT r4 #5).  The tangent
+    # chains through the error-free transformations are wide: every df64
+    # add/mul splits into 6-20 f32 ops and each tangent pays all of them.
+    # But the TANGENT needs no df64 — Jacobian consumers (Newton
+    # directions, bordered continuation systems, eigen-spectra) use a
+    # handful of digits, while only the PRIMAL residual must hold the
+    # 1e-9 contract.
     #   "df64" — differentiate the df64 scan itself: machine-grade
-    #            tangents (the pair arithmetic's ~2^-47), ~14x forward.
+    #            tangents (the pair arithmetic's ~2^-47).  THE DEFAULT:
+    #            the Moore-Spence fold system consumes J.v as residual
+    #            ROWS (analysis/fold.py), so tangent error displaces the
+    #            computed fold location — tangent grade is a correctness
+    #            surface there, not just a solver-speed knob.
     #   "f32"  — custom JVP at the whole-replay granularity: the primal
     #            stays the bitwise-identical df64 replay; tangents
     #            propagate through a plain-f32 re-evolution of the SAME
     #            schedule (IFT tangent at each scheduled root via
     #            events.event_time, closed-form advance in f32).
-    #            Jacobian agreement vs "df64" measured at ~1.5e-4
-    #            relative (N=512 R=8 sigma=0.1 f64 oracle,
-    #            tests/test_replay.py) — set by the f32 trajectory's
-    #            drift from the df64 one, ample for Newton directions
-    #            and bordered continuation systems; keep "df64" when the
-    #            Jacobian itself is the deliverable (spectra near a
-    #            stability boundary at < 1e-4 margins).
+    #            Jacobian agreement vs "df64": ~1.5e-4 relative at N=512
+    #            R=8 sigma=0.1 (tests/test_replay.py), ~1.3e-3 at N=4096
+    #            R=64 (on chip) — set by the f32 trajectory's drift,
+    #            ample for Newton directions and continuation correctors;
+    #            3.3x cheaper per Jacobian on chip (solvers/newton.py
+    #            jacfwd_cols: 378 ms vs 1242 at N=4096, 1.6x vs 5.2x a
+    #            forward eval).  Opt in for exact-mode solves and
+    #            arclength walks; avoid for fold tracking and spectra at
+    #            < 1e-3 stability margins.
+    # Either mode, use solvers.newton.jacfwd_cols (the package's exact-
+    # mode consumers all do): plain jax.jacfwd vmaps the tangents through
+    # the event loop, which is ~25x slower than sequential columns on the
+    # TPU backend (measured; see jacfwd_cols).
     replay_jvp: str = "df64"
     # Warm-started event-time Newton in the Pallas evolve kernel
     # (ROADMAP/VERDICT r3 #6): seed each event's per-lane root-find from

@@ -534,7 +534,7 @@ class _F32Carry(NamedTuple):
 
 def _replay_f32(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
                 v0: jax.Array, s0: jax.Array, beta: jax.Array,
-                init_ind: jax.Array):
+                init_ind: jax.Array, loop: str = "while"):
     """Plain-f32 replay of a recorded firing order — the TANGENT carrier of
     ``cfg.replay_jvp == "f32"`` (never a user-facing evolve backend).
 
@@ -616,6 +616,16 @@ def _replay_f32(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
             crossed=c.crossed | is_cross)
 
     sched_t = schedule.T                                  # (E, R)
+    if loop == "scan":
+        # Fixed-length scan over all E steps (dead tail live-masked).
+        def s_body(c, inputs):
+            e, j = inputs
+            return body(c, e, j), None
+
+        out, _ = jax.lax.scan(s_body, init,
+                              (jnp.arange(E, dtype=jnp.int32), sched_t))
+        return out.last_t, out.crossed_t
+
     n_live = jnp.minimum(jnp.max(n_sched), E).astype(jnp.int32)
 
     def w_cond(state):
@@ -646,12 +656,16 @@ def _replay_events_f32tan(cfg: ModelConfig, schedule: jax.Array,
 def _replay_events_f32tan_jvp(cfg: ModelConfig, primals, tangents):
     """Whole-replay custom JVP: df64 primal, plain-f32 tangents.
 
-    ROADMAP 1b / VERDICT r4 #5: forward mode *through* the df64 scan costs
-    ~14x a forward evaluation because each of the ``n_spikes`` tangents
-    pays every error-free transformation in the pair arithmetic.  This
-    rule replaces that with one ``jax.jvp`` through :func:`_replay_f32` —
-    an f32 re-evolution of the same schedule — so the tangent chains cost
-    f32 flops while the primal output stays the bitwise df64 replay.
+    ROADMAP 1b / VERDICT r4 #5: forward mode *through* the df64 scan pays
+    every error-free transformation in the pair arithmetic per tangent.
+    This rule replaces that with one ``jax.jvp`` through
+    :func:`_replay_f32` — an f32 re-evolution of the same schedule — so
+    the tangent chains cost f32 flops while the primal output stays the
+    bitwise df64 replay.  Measured on chip (N=4096 R=64, warm, via the
+    column-wise ``jacfwd_cols`` — NOT ``jax.jacfwd``, whose vmapped
+    tangents are ~25x slower through either replay loop): full-map
+    Jacobian 378 ms vs 1242 ms for df64 tangents, against a 238 ms
+    forward eval.
 
     Tangent accuracy: the schedule pins the discrete outcome, so the f32
     re-evolution walks the same smooth piece as the df64 primal; its
@@ -703,11 +717,15 @@ def replay_events(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
 
     ``cfg.replay_jvp`` selects the forward-mode differentiation path:
     ``"df64"`` differentiates the pair-arithmetic scan itself
-    (machine-grade tangents, ~14x a forward eval); ``"f32"`` routes
-    through a custom JVP whose primal is the identical df64 replay and
-    whose tangents propagate through a plain-f32 re-evolution of the same
-    schedule (:func:`_replay_f32`).  Undifferentiated evaluations are
-    bitwise identical either way.
+    (machine-grade tangents); ``"f32"`` routes through a custom JVP whose
+    primal is the identical df64 replay and whose tangents propagate
+    through a plain-f32 re-evolution of the same schedule
+    (:func:`_replay_f32`) — ~3.3x cheaper per Jacobian on chip, tangents
+    good to ~1e-4..1e-3 relative (the tradeoff table lives on
+    ``ModelConfig.replay_jvp``).  Undifferentiated evaluations are
+    bitwise identical either way.  Differentiate via
+    ``solvers.newton.jacfwd_cols``, not ``jax.jacfwd`` (vmapped tangents
+    through the event loop are pathologically slow on TPU).
     """
     if cfg.replay_jvp == "f32":
         return _replay_events_f32tan(cfg, schedule, n_sched, v0, s0, beta,

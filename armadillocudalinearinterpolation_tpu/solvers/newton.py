@@ -77,6 +77,30 @@ def central_fd_jacobian(F: Callable[[jax.Array], jax.Array], x: jax.Array,
     return (vals[:n] - vals[n:]).T / (2.0 * eps)
 
 
+def jacfwd_cols(F: Callable[..., jax.Array]) -> Callable[..., jax.Array]:
+    """Column-wise forward-mode Jacobian: ``n`` sequential ``jax.jvp``
+    calls in one trace instead of ``jax.jacfwd``'s vmap-of-jvp.
+
+    Numerically identical to ``jax.jacfwd(F)`` (argnums=0; extra args pass
+    through as constants).  Exists because vmapping tangents through the
+    replay's sequential event loop is pathological on the TPU backend:
+    measured (v5e, N=4096 R=64, cfg.replay_jvp="f32") one jvp = 79 ms but
+    vmap over 3 tangents = 5.9 s — ~25x the 3-column cost — for BOTH the
+    while-loop and scan forms of the loop, while three sequential jvp
+    columns in one jit share the primal chain and run in 176 ms.  Every
+    exact-mode Jacobian consumer in the package routes through this
+    helper; callers composing ``jax.jacfwd`` directly over replay-backed
+    residuals pay the vmap path.
+    """
+    def jac(x: jax.Array, *args) -> jax.Array:
+        n = x.shape[0]
+        eye = jnp.eye(n, dtype=x.dtype)
+        cols = [jax.jvp(lambda xx: F(xx, *args), (x,), (eye[i],))[1]
+                for i in range(n)]
+        return jnp.stack(cols, axis=-1)
+    return jac
+
+
 def _print_header(max_iterations, tolerance):
     # AbstractNonlinearSolver::PrintHeader (AbstractNonlinearSolver.cpp:11-25)
     bar = "-" * 48
@@ -236,12 +260,13 @@ def newton_solve(
         if jacobian_fn is not None:
             return jacobian_fn(x)
         if cfg.fd_mode == "exact":
-            # Exact forward-mode Jacobian: jacfwd flows n tangents through
-            # the whole map in ONE evaluation (the event-time root carries
-            # an implicit-function-theorem custom JVP, events.py).  No FD
-            # epsilon, no differencing noise; requires the XLA evolve
-            # backend (the Pallas kernel defines no JVP).
-            return jax.jacfwd(F)(x)
+            # Exact forward-mode Jacobian: n tangents through the whole
+            # map (the event-time root carries an implicit-function-
+            # theorem custom JVP, events.py).  No FD epsilon, no
+            # differencing noise; requires a differentiable evolve
+            # backend (the Pallas kernel defines no JVP).  Column form,
+            # not jax.jacfwd — see jacfwd_cols.
+            return jacfwd_cols(F)(x)
         if cfg.fd_mode == "central":
             return central_fd_jacobian(F, x, cfg.fd_epsilon)
         return fd_jacobian(F, x, f, cfg.fd_epsilon)
@@ -367,8 +392,8 @@ def newton_solve_host(
     Fj = (lambda x: Fj_raw(x, *F_args)) if F_args else Fj_raw
     # hoisted so exact mode traces/lowers the Jacobian program once, not
     # once per iteration (a fresh jax.jit wrapper has an empty trace cache).
-    # jacfwd over argnums=0: F_args are parameters, not unknowns.
-    Jf_raw = (cache.setdefault("J", jax.jit(jax.jacfwd(F)))
+    # column-wise over argnums=0: F_args are parameters, not unknowns.
+    Jf_raw = (cache.setdefault("J", jax.jit(jacfwd_cols(F)))
               if cfg.fd_mode == "exact" else None)
     Jf = ((lambda x: Jf_raw(x, *F_args)) if F_args else Jf_raw) \
         if Jf_raw is not None else None

@@ -38,9 +38,9 @@ from ..model.emap import (compute_discrete_outcome, event_driven_map,
                           frozen_schedule_map_batched)
 from .criterion import residual_norm_criterion
 from .linalg import solve_dense
-from .newton import (NewtonResult, frozen_jacobian_polish, newton_solve,
-                     newton_solve_host, _print_footer, _print_header,
-                     _print_iteration)
+from .newton import (NewtonResult, frozen_jacobian_polish, jacfwd_cols,
+                     newton_solve, newton_solve_host, _print_footer,
+                     _print_header, _print_iteration)
 
 
 def _ensure_frozen_programs(cache: dict, cfg: ModelConfig, n: int, dt_,
@@ -577,7 +577,7 @@ def staged_aot_warmup(cfg: ModelConfig, params: MapParams, key: jax.Array,
                  ("score", sub["score"],
                   (z64, sched_d, n_ev_d, ii_d, params, key))]
     elif stage2_ncfg.fd_mode == "exact":
-        sub.setdefault("J", jax.jit(jax.jacfwd(F_acc)))
+        sub.setdefault("J", jax.jit(jacfwd_cols(F_acc)))
         work.append(("J", sub["J"], (z64, params, key)))
 
     t_all0 = _time.perf_counter()
@@ -776,7 +776,7 @@ def newton_solve_staged(cfg: ModelConfig, params: MapParams, key: jax.Array,
             # Compute one real Jacobian (the same cached program the
             # stage would have used).
             if stage2_ncfg.fd_mode == "exact":
-                Jf = sub.setdefault("J", jax.jit(jax.jacfwd(F_acc)))
+                Jf = sub.setdefault("J", jax.jit(jacfwd_cols(F_acc)))
                 jac = Jf(x2, params, key)
             else:
                 from .newton import central_fd_jacobian

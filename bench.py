@@ -428,8 +428,12 @@ def _newton_cfg64():
     # a WORSE floor (1.68e-8 — denser reordering-boundary staircase) and
     # fails the target from a perturbed guess.  Bigger ensembles do not
     # average the floor down at fixed sigma.
+    # replay_jvp pinned so the newton_exact key keeps its machine-grade-
+    # tangent semantics across rounds even if the library default moves;
+    # the f32-tangent alternative is recorded by the jacfwd_modes stage
     cfg64 = ModelConfig(n_neurons=4096, n_real=64, dtype="float64",
-                        root_tol=1e-12, evolve_window=512, max_events=4096)
+                        root_tol=1e-12, evolve_window=512, max_events=4096,
+                        replay_jvp="df64")
     params64 = MapParams.create(13.0589, 0.1, dtype="float64")
     return cfg64, params64
 
@@ -574,6 +578,45 @@ def bench_newton_exact(state):
                                 jit_cache=jits_f)
     return (time.perf_counter() - t0,
             max(float(pol_f.residual_norm), float(pol_fc.residual_norm)))
+
+
+def bench_jacfwd_modes(state):
+    """VERDICT r4 #5 deliverable: the f32-tangent custom JVP A/B, on chip.
+
+    Times the full-map exact Jacobian at N=4096 (the newton_exact
+    stage's workload) via the column-wise ``jacfwd_cols`` in both tangent
+    modes, against the forward eval the same stage records.  Round-5
+    context (all warm, this builder's measurements): ``jax.jacfwd``'s
+    vmapped tangents cost 3.35 s (df64) / 3.08 s (f32) — the vmap-of-jvp
+    through the event loop is pathological on this backend — while
+    sequential columns run 1.24 s / 0.38 s.  The record captures the
+    column-mode numbers plus the f32-vs-df64 Jacobian agreement."""
+    from armadillocudalinearinterpolation_tpu import make_residual_fn
+    from armadillocudalinearinterpolation_tpu.solvers.newton import (
+        jacfwd_cols)
+
+    cfg64, params64 = _newton_cfg64()
+    key = state.get("key", jax.random.PRNGKey(0))
+    sol = state["pol"].solution if "pol" in state else jnp.array(
+        [0.32623663, 0.71936722, 1.36899475], jnp.float64)
+    out = {}
+    Js = {}
+    for mode in ("f32", "df64"):
+        F = make_residual_fn(cfg64.with_(replay_jvp=mode), params64, key,
+                             evolve_backend="replay")
+        Jf = jax.jit(jacfwd_cols(F))
+        Jf(sol).block_until_ready()
+        ts = []
+        for k in range(3):
+            t0 = time.perf_counter()
+            J = Jf(sol + (k + 1) * 1e-7)
+            J.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        Js[mode] = J
+        out[f"jacfwd_{mode}_N4096_ms"] = round(min(ts) * 1e3, 1)
+    d = float(jnp.max(jnp.abs(Js["f32"] - Js["df64"])))
+    out["jacfwd_f32_vs_df64_rel"] = d / float(jnp.max(jnp.abs(Js["df64"])))
+    return out
 
 
 def bench_replay_exp_modes():
@@ -935,6 +978,9 @@ def main():
         extras["newton_exact_N4096_s"] = round(t_f, 2)
         extras["newton_exact_final_norm"] = norm_f
 
+    def st_jacfwd_modes():
+        extras.update(bench_jacfwd_modes(newton_state))
+
     def _apply_sweep(prefix, r):
         best = _best_of(f"{prefix}_s_per_step", r["s_per_step"],
                         lower_is_better=True)
@@ -1059,6 +1105,7 @@ def main():
         extras["replay_vs_emu_skipped"] = "newton_1e8 produced no programs"
         rec.emit()
     rec.run_stage("newton_exact", st_newton_exact, min_budget_s=400)
+    rec.run_stage("jacfwd_modes", st_jacfwd_modes, min_budget_s=300)
     rec.run_stage("replay_exp_modes", st_replay_exp_modes, min_budget_s=300)
     # Variance-control re-measures of the judged metrics (VERDICT r4 #1a):
     # spend leftover budget shrinking the spread of exactly the numbers

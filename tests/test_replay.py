@@ -310,6 +310,26 @@ def test_replay_jvp_f32_jacfwd_matches_df64(cfg):
     assert float(jnp.max(jnp.abs(J_f32))) > 0.1
 
 
+@pytest.mark.slow
+def test_jacfwd_cols_matches_jacfwd(cfg):
+    """jacfwd_cols (sequential jvp columns — the package's exact-mode
+    Jacobian form, ~25x faster than jax.jacfwd's vmapped tangents through
+    the replay loop on TPU) must agree with jax.jacfwd in both tangent
+    modes: to numerical noise for df64 tangents, to f32-reassociation
+    drift over the trajectory (~1e-5 at this scale) for f32 tangents."""
+    from armadillocudalinearinterpolation_tpu.solvers.newton import (
+        jacfwd_cols)
+    params = alt.MapParams.create(13.0589, 0.1, dtype="float64")
+    small = cfg.with_(n_neurons=256, max_events=1024)
+    for mode, tol in (("df64", 1e-10), ("f32", 2e-4)):
+        F = make_residual_fn(small.with_(replay_jvp=mode), params, KEY,
+                             evolve_backend="replay")
+        J_ref = jax.jacfwd(F)(Z64)
+        J_cols = jacfwd_cols(F)(Z64)
+        assert J_cols.shape == J_ref.shape
+        assert float(jnp.max(jnp.abs(J_ref - J_cols))) < tol, mode
+
+
 def test_replay_jvp_f32_beta_tangent(cfg):
     """dF/dbeta — the continuation/fold-tracking tangent — must flow
     through the f32 custom JVP (the rule forwards the beta tangent into
