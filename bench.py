@@ -1087,6 +1087,12 @@ def main():
     rec.run_stage("sweep_100pt", st_sweep_100pt, judged=True)
     rec.run_stage("sweep_plain", st_sweep_plain, judged=True)
     rec.run_stage("map_eval", st_map_eval, judged=True)
+    # one early headline re-measure so the judged metric carries a spread
+    # even if the optional stages exhaust the budget (r04 lesson: the
+    # optional newton_exact ate a third of the run while the headline
+    # stayed a single drift-exposed sample); the end-of-run passes below
+    # still capture cross-run drift
+    rec.run_stage("bilinear2d_p1b", st_bilinear2d_remeasure, judged=True)
     # Optional stages, cheapest-per-information first.  min_budget_s is a
     # rough worst-case (cold server compile cache) stage cost; a warm run
     # clears all of them with budget to spare.
@@ -1105,7 +1111,10 @@ def main():
         extras["replay_vs_emu_skipped"] = "newton_1e8 produced no programs"
         rec.emit()
     rec.run_stage("newton_exact", st_newton_exact, min_budget_s=400)
-    rec.run_stage("jacfwd_modes", st_jacfwd_modes, min_budget_s=300)
+    # the two Jacobian programs compile inline (~7.5 min on a cold remote
+    # cache, ~30 s warm): gate on enough budget that starting it cannot
+    # starve the variance-control re-measures below
+    rec.run_stage("jacfwd_modes", st_jacfwd_modes, min_budget_s=600)
     rec.run_stage("replay_exp_modes", st_replay_exp_modes, min_budget_s=300)
     # Variance-control re-measures of the judged metrics (VERDICT r4 #1a):
     # spend leftover budget shrinking the spread of exactly the numbers
