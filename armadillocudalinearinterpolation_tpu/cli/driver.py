@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "Jacobian polish; solvers/staged.py). Reaches "
                         "f64-grade tolerances (--tol 1e-8) at ~8x the "
                         "emulated-f64 cost; requires --dtype float64")
+    p.add_argument("--aot-warmup", action="store_true",
+                   help="with --staged: trace every device program of the "
+                        "recipe up front and compile them in PARALLEL "
+                        "(solvers/staged.py::staged_aot_warmup) so step 0 "
+                        "starts warm — cuts the serial cold-compile chain "
+                        "the first solve otherwise pays (the reference "
+                        "pays ~zero compile: nvcc built it ahead of time)")
     p.add_argument("--stage2-fd",
                    choices=["frozen-fwd", "frozen", "exact", "central"],
                    default=None,
@@ -449,6 +456,21 @@ def _run(args) -> int:
                 stage2_ncfg=stage2_ncfg,
                 evolve_backend=args.evolve_backend,
                 jit_cache=staged_cache, mesh=mesh)
+
+        if args.aot_warmup:
+            # parallel ahead-of-time compiles of the recipe's programs
+            # (tracing stays serial/GIL-bound): the sweep's step 0 then
+            # starts warm instead of paying the serial cold chain
+            from ..solvers.staged import staged_aot_warmup
+            bd = staged_aot_warmup(
+                cfg, MapParams.create(beta, args.sigma, dtype=args.dtype),
+                key, Z, tolerance=args.tol, stage2_ncfg=stage2_ncfg,
+                evolve_backend=args.evolve_backend,
+                jit_cache=staged_cache, mesh=mesh)
+            if not args.quiet:
+                print(f"[aot] {len(bd['programs'])} programs: trace "
+                      f"{bd['trace_total_s']:.1f} s, parallel compile "
+                      f"{bd['compile_wall_s']:.1f} s")
     elif ncfg.fd_mode in ("frozen", "frozen-fwd"):
         # fused frozen-outcome solves on the df64 replay map: one batched
         # stencil replay per iteration, host-driven (newton_solve_frozen);
