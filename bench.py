@@ -748,7 +748,13 @@ def bench_sweep_100pt(predict: bool = True):
             z_is_conv = True
             n_conv += 1
         else:
-            if first_fail_beta is None:
+            # the branch-END annotation (VERDICT r4 #8): the first failure
+            # AFTER a converged step — the physical end of the walked
+            # family.  Early cold-guess failures (step 0 at the Driver.cu
+            # guess is outside every local basin at this R, verify skill)
+            # don't qualify: recording THEM produced a misleading
+            # first_fail_beta = 13.0589 in the round-5 shakeout run.
+            if first_fail_beta is None and n_conv > 0:
                 first_fail_beta = round(beta, 4)
             z_prev = None
             z_is_conv = False
