@@ -60,6 +60,20 @@ def test_cli_staged_sweep(capsys):
     assert out.count("converged=True") == 2
 
 
+@pytest.mark.slow
+def test_cli_staged_aot_warmup_sweep(capsys):
+    # --aot-warmup must pre-populate the SAME program objects the sweep
+    # uses (identity-checked inside staged_aot_warmup) and print the
+    # trace/compile breakdown; the warmed step must still converge
+    rc = main(["--neurons", "512", "--realisations", "4",
+               "--dtype", "float64", "--staged", "--aot-warmup",
+               "--tol", "1e-7", "--max-events", "2048", "--steps", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[aot]" in out and "programs" in out
+    assert "converged=True" in out
+
+
 def test_cli_shard_sweep(capsys):
     # --shard N: the sweep's solves run over an N-device mesh (GSPMD row
     # constraint; the conftest already forces 8 virtual CPU devices, so
