@@ -544,9 +544,9 @@ def _replay_f32(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
     (whose custom JVP carries the exact implicit-function-theorem tangent,
     so differentiation never enters the Newton iteration), the advance is
     the closed form of ``EventDrivenMap.cu:612-617``, and the kick weight
-    is the direct two-exponential Mexican-hat recompute (integer-index
-    ring distance — zero tangent, so the separable df64 tables would buy
-    nothing here).  Returns ``(last_time, crossed_time)`` only: the
+    is the direct two-exponential recompute (see the ``kick_w`` comment;
+    zero tangent — ``j`` is discrete).  Returns
+    ``(last_time, crossed_time)`` only: the
     discrete outputs (indices, accept) are taken from the df64 primal by
     the custom JVP rule, and within the smooth piece the f32 and df64
     replays classify events identically.
@@ -562,6 +562,21 @@ def _replay_f32(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
     inv1mb = 1.0 / (1.0 - beta)
     lane = jnp.arange(N, dtype=jnp.int32)[None, :]
     rows = jnp.arange(R)
+
+    # Kick weight w(d_ring(i, j)) * dx: the direct two-exponential
+    # recompute.  A single-word port of the df64 separable _KickTables
+    # (per-lane A/B/C factors, gathers + broadcast multiplies instead of
+    # two (R, N) exps) was built and MEASURED on chip (round 5): 73.9 ms
+    # per f32 forward replay vs 60.2 for this form — in DIFFERENT tunnel
+    # states (in-run probe drifted 137 -> 56 us on the reference kernel),
+    # so no win was demonstrable, and the tables add a b<=0 validity
+    # branch; rejected per the measured-decision rule.  No tangent flows
+    # through the kick either way (j is discrete).
+    def kick_w(j):
+        d = jnp.abs(lane - j[:, None]).astype(f32)
+        dist = jnp.minimum(d, f32(N) - d) * f32(cfg.dx)
+        return (f32(cfg.a1) * jnp.exp(-f32(cfg.b1) * dist)
+                - f32(cfg.a2) * jnp.exp(-f32(cfg.b2) * dist)) * f32(cfg.dx)
 
     init = _F32Carry(
         v=v_init, s=s_init, t=jnp.zeros((R,), f32),
@@ -587,10 +602,7 @@ def _replay_f32(cfg: ModelConfig, schedule: jax.Array, n_sched: jax.Array,
         fired = lane == j[:, None]
         v_new = jnp.where(fired, f32(0.0), v_adv)
 
-        d = jnp.abs(lane - j[:, None]).astype(f32)
-        dist = jnp.minimum(d, f32(N) - d) * f32(cfg.dx)
-        w = (f32(cfg.a1) * jnp.exp(-f32(cfg.b1) * dist)
-             - f32(cfg.a2) * jnp.exp(-f32(cfg.b2) * dist)) * f32(cfg.dx)
+        w = kick_w(j)
         s_new = c.s * e_b + beta * w
         t_new = c.t + dt
 
