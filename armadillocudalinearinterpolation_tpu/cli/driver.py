@@ -443,8 +443,14 @@ def _run(args) -> int:
         # library instead of being silently re-resolved here
         stage2_ncfg = None
         if not (args.stage2_fd is None and stage2_fd == "frozen-fwd"):
+            # exact stage 2 drives to the polish target itself (one more
+            # quadratic iteration beats the polish crawling from the 5x
+            # capture range — measured, solvers/staged.py); the cheaper-
+            # per-iteration stencil/FD modes keep the capture range
+            exact = stage2_fd == "exact"
             stage2_ncfg = NewtonConfig(
-                tolerance=5.0 * args.tol, max_iterations=6,
+                tolerance=(0.9 if exact else 5.0) * args.tol,
+                max_iterations=8 if exact else 6,
                 fd_mode=stage2_fd,
                 fd_epsilon=1e-5 if stage2_fd == "frozen" else 1e-6)
 

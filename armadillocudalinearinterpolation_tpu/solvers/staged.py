@@ -381,7 +381,24 @@ def _resolve_staged(cfg: ModelConfig, tolerance: float,
         stage1_ncfg = NewtonConfig(tolerance=tolerance, max_iterations=6,
                                    fd_epsilon=1e-3, fd_mode="central")
     if stage2_tolerance is None:
-        stage2_tolerance = 5.0 * tolerance
+        if stage2_ncfg is None and evolve_backend != "replay":
+            # The default stage-2 on a non-replay backend is EXACT mode
+            # (see below), which should drive all the way to the polish
+            # target: with machine-grade Jacobians one extra quadratic
+            # iteration is cheaper than the frozen-Jacobian polish
+            # crawling linearly from the 5x capture range.  Measured on
+            # chip (round 5, N=4096 R=64 warm staged exact solve from a
+            # perturbed guess): capture-range staging = 34-46 s at 54
+            # total iterations (the polish ground its whole 40-iteration
+            # budget); direct-to-0.9x = 13.4 s at 12 iterations (callers
+            # building an explicit exact stage2_ncfg should set its
+            # tolerance the same way — bench.py's exact variant does).
+            # The frozen modes keep the capture range: their stencil
+            # Jacobian is cheap per iteration but not quadratic-grade at
+            # the floor, and their measured total is 10 iterations.
+            stage2_tolerance = 0.9 * tolerance
+        else:
+            stage2_tolerance = 5.0 * tolerance
     if stage2_ncfg is None:
         # budget 6, but the stage stops at stage2_tolerance — from a good
         # fp32 hand-off (~2e-5 at reference scale) that is 1-2 iterations;
@@ -410,7 +427,8 @@ def _resolve_staged(cfg: ModelConfig, tolerance: float,
         # requested backend instead.
         mode = "frozen-fwd" if evolve_backend == "replay" else "exact"
         stage2_ncfg = NewtonConfig(tolerance=stage2_tolerance,
-                                   max_iterations=6, fd_mode=mode,
+                                   max_iterations=8 if mode == "exact"
+                                   else 6, fd_mode=mode,
                                    fd_epsilon=1e-6)
 
     if (stage2_ncfg.fd_mode in ("frozen", "frozen-fwd")

@@ -559,7 +559,14 @@ def bench_newton_exact(state):
     key = jax.random.PRNGKey(0)
     Z0 = jnp.array([0.3310, 0.6914, 1.3557], jnp.float32)
     cfg64, params64 = _newton_cfg64()
-    ncfg_f = NewtonConfig(tolerance=5e-8, max_iterations=6,
+    # Stage-2 drives all the way to 0.9e-8 itself (NOT the recipe-default
+    # 5*tolerance capture range + polish): with machine-grade Jacobians
+    # one extra quadratic iteration replaces the frozen-Jacobian polish
+    # crawl from the 5e-8 hand-off.  Measured on chip (round 5, warm
+    # staged exact from Z0+1e-3): 5e-8/6 = 34.2-46.4 s at 54 total
+    # iterations (the polish ground its full 40-iteration budget);
+    # 0.9e-8/8 = 13.4 s at 12 iterations, final norm 4.6e-9.
+    ncfg_f = NewtonConfig(tolerance=0.9e-8, max_iterations=8,
                           fd_mode="exact", fd_epsilon=1e-6)
     jits_f = {}
     if "jits" in state:
